@@ -1,0 +1,144 @@
+"""Model/configuration registry for the TPU-native Whisper framework.
+
+The reference carries one hand-rolled ``ModelDims`` struct
+(``/root/reference/src/model.rs:547-557``) hardcoded to base.en in its example
+(``/root/reference/examples/transcribe.rs:25-35``).  Here the dims are a frozen
+dataclass plus a registry covering every released Whisper size (tiny ->
+large-v3), because the TPU build must scale past base.en (BASELINE configs
+#1-#5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelDims:
+    """Architecture hyperparameters (reference: ``model.rs:547-557``)."""
+
+    n_mels: int
+    n_vocab: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+
+    @property
+    def head_dim(self) -> int:
+        assert self.n_audio_state % self.n_audio_head == 0
+        return self.n_audio_state // self.n_audio_head
+
+    @property
+    def sample_len_default(self) -> int:
+        # reference: decode/mod.rs:129-131 (n_text_ctxs / 2)
+        return self.n_text_ctx // 2
+
+
+def _dims(n_mels, n_vocab, state, head, layer) -> ModelDims:
+    return ModelDims(
+        n_mels=n_mels,
+        n_vocab=n_vocab,
+        n_audio_ctx=1500,
+        n_audio_state=state,
+        n_audio_head=head,
+        n_audio_layer=layer,
+        n_text_ctx=448,
+        n_text_state=state,
+        n_text_head=head,
+        n_text_layer=layer,
+    )
+
+
+# English-only checkpoints use a 51864-token vocab, multilingual 51865,
+# large-v3 51866 (adds <|yue|>).  large-v3 also moves to 128 mel bins.
+MODEL_REGISTRY = {
+    "tiny.en": _dims(80, 51864, 384, 6, 4),
+    "tiny": _dims(80, 51865, 384, 6, 4),
+    "base.en": _dims(80, 51864, 512, 8, 6),
+    "base": _dims(80, 51865, 512, 8, 6),
+    "small.en": _dims(80, 51864, 768, 12, 12),
+    "small": _dims(80, 51865, 768, 12, 12),
+    "medium.en": _dims(80, 51864, 1024, 16, 24),
+    "medium": _dims(80, 51865, 1024, 16, 24),
+    "large-v1": _dims(80, 51865, 1280, 20, 32),
+    "large-v2": _dims(80, 51865, 1280, 20, 32),
+    "large-v3": _dims(128, 51866, 1280, 20, 32),
+    "large-v3-turbo": ModelDims(
+        n_mels=128,
+        n_vocab=51866,
+        n_audio_ctx=1500,
+        n_audio_state=1280,
+        n_audio_head=20,
+        n_audio_layer=32,
+        n_text_ctx=448,
+        n_text_state=1280,
+        n_text_head=20,
+        n_text_layer=4,
+    ),
+}
+
+
+def dims_for(name: str) -> ModelDims:
+    try:
+        return MODEL_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model {name!r}; known: {sorted(MODEL_REGISTRY)}"
+        ) from None
+
+
+@dataclasses.dataclass(frozen=True)
+class GreedyMode:
+    """Greedy token extraction (reference: extractor/mod.rs:13-15; the
+    reference left greedy unfinished — greedy.rs:60 todo!() — we implement it
+    fully)."""
+
+    group_size: int = 1
+    temperature: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchMode:
+    """Beam-search token extraction (reference: extractor/mod.rs:16,
+    beam_search.rs)."""
+
+    beam_size: int = 5
+    patience: float = 1.0
+
+
+TokenExtractMode = object  # union tag: GreedyMode | BeamSearchMode
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeOptions:
+    """Single-window decode options (reference: decode/mod.rs:95-106).
+
+    Defaults mirror the reference example (examples/transcribe.rs:46-55).
+    """
+
+    sample_len: Optional[int] = None
+    mode: object = BeamSearchMode(beam_size=5, patience=1.0)
+    length_penalty: Optional[float] = None
+    max_initial_timestamp: Optional[float] = 1.0
+    timestamps: bool = True
+    suppress_blank: bool = True
+    suppress_non_speech: bool = True
+    suppress_tokens: Optional[Tuple[int, ...]] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TranscribeOptions:
+    """Long-audio transcription options (reference: transcribe.rs:32-50)."""
+
+    decode: DecodeOptions = DecodeOptions()
+    # TranscribePrompt::{Pretokenized, Text, None{condition_on_prev_text}}
+    # (reference: transcribe.rs:25-29) flattened into two optional fields.
+    initial_prompt_tokens: Optional[Tuple[int, ...]] = None
+    initial_prompt_text: Optional[str] = None
+    condition_on_prev_text: bool = True

@@ -1,0 +1,309 @@
+"""Functional Whisper model: audio encoder + KV-cached text decoder.
+
+Same architecture/math as the reference (``/root/reference/src/model.rs``)
+but redesigned for XLA/TPU instead of translated:
+
+  * **Pure functions over a params pytree** — no modules, no interior
+    mutability.  The reference's ``Cached<T>`` ``Cell``-based concat-grow KV
+    cache (model.rs:37-98) becomes an explicit, static-shape
+    ``[L, 2, B, H, n_ctx, dh]`` buffer written with
+    ``lax.dynamic_update_slice`` — concat would retrace under jit.
+  * **Stacked layers + lax.scan** — per-layer weights are stacked along a
+    leading ``L`` axis and the block loop is a ``lax.scan``, keeping compile
+    time flat in depth (32 layers for large-v3).
+  * **Cross-attention K/V precomputed once per window** — the reference
+    achieves this with a threshold trick in the cache (model.rs:84-90); here
+    it is explicit: ``precompute_cross_kv`` runs once after the encoder.
+  * **Unified causal masking** — a query at absolute position ``p`` attends
+    cache keys ``<= p``.  This subsumes both the reference's triangular
+    prefill mask (model.rs:474-476) and its unmasked incremental step
+    (model.rs:194-196 slices the mask to ``[..1, ..1]``), while also hiding
+    the static cache's not-yet-written slots.
+
+Numerics match the reference: LayerNorm computed in f32 (model.rs:14-18),
+q/k each scaled by ``head_dim**-0.25`` (model.rs:169-182), softmax in f32
+then cast (model.rs:200), exact (erf) GELU (model.rs:229-231 ``gelu("none")``),
+logits via the tied token embedding (model.rs:521).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import ModelDims
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm computed in f32, cast back to x.dtype (model.rs:14-18)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """x @ W (+ b); weights cast to x.dtype (model.rs:25-33)."""
+    w = p["w"].astype(x.dtype)
+    y = x @ w
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Sin/cos positional table, concat not interleave (model.rs:100-112)."""
+    assert channels % 2 == 0
+    log_inc = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_inc * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """[B, T, D] -> [B, H, T, dh]"""
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, dh] -> [B, T, D]"""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _attend(
+    q: jnp.ndarray,  # [B, H, Tq, dh], already scaled
+    k: jnp.ndarray,  # [B, H, Tk, dh], already scaled
+    v: jnp.ndarray,  # [B, H, Tk, dh]
+    mask: Optional[jnp.ndarray],  # broadcastable to [B, H, Tq, Tk], additive
+) -> jnp.ndarray:
+    qk = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        qk = qk + mask
+    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def mha_self(x_ln: jnp.ndarray, p: dict, n_head: int, mask) -> jnp.ndarray:
+    """Full (non-cached) self-attention — encoder path (model.rs:158-206)."""
+    d_head = x_ln.shape[-1] // n_head
+    scale = d_head**-0.25
+    q = _split_heads(linear(x_ln, p["query"]), n_head) * scale
+    k = _split_heads(linear(x_ln, p["key"]), n_head) * scale
+    v = _split_heads(linear(x_ln, p["value"]), n_head)
+    return linear(_merge_heads(_attend(q, k, v, mask)), p["out"])
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _conv1d(x: jnp.ndarray, p: dict, stride: int) -> jnp.ndarray:
+    """x: [B, C_in, T]; weight [C_out, C_in, K]; padding=1 (model.rs:363-383)."""
+    w = p["w"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y + p["b"].astype(x.dtype)[None, :, None]
+
+
+def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndarray:
+    """[B, n_mels, 3000] log-mel -> [B, 1500, n_state] audio features.
+
+    conv1(k3,p1)+gelu, conv2(k3,s2,p1)+gelu, +sinusoid pos-emb, N self-attn
+    blocks, post-LN (model.rs:417-441).
+    """
+    enc = params["encoder"]
+    x = gelu(_conv1d(mel, enc["conv1"], stride=1))
+    x = gelu(_conv1d(x, enc["conv2"], stride=2))
+    x = x.transpose(0, 2, 1)  # [B, 1500, D]
+    pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state), dtype=x.dtype)
+    x = x + pos
+
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        x = x + mha_self(layer_norm(x, bp["attn_ln"]), bp["attn"], n_head, None)
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
+        return x, None
+
+    x, _ = lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# decoder with static-shape KV cache
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Static-shape self-attention cache.
+
+    k, v: [L, B, H, n_text_ctx, dh].  Replaces the reference's concat-grow
+    ``Cached`` cells (model.rs:77-98).  Beam reorder = gather along B
+    (model.rs:53-62 ``update_cache``).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @staticmethod
+    def init(dims: ModelDims, batch: int, dtype=jnp.float32) -> "KVCache":
+        shape = (
+            dims.n_text_layer,
+            batch,
+            dims.n_text_head,
+            dims.n_text_ctx,
+            dims.head_dim,
+        )
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def reorder(self, source_indices: jnp.ndarray) -> "KVCache":
+        """Beam-search cache permutation along the batch axis.
+
+        Equivalent of the reference's ``model.update_cache(source_indices)``
+        fan-out (beam_search.rs:111-114 -> model.rs:53-62), as a pure gather.
+        With data-parallel sharding over utterances the indices are
+        batch-local, so this stays free of cross-chip traffic.
+        """
+        return KVCache(
+            jnp.take(self.k, source_indices, axis=1),
+            jnp.take(self.v, source_indices, axis=1),
+        )
+
+
+class CrossKV(NamedTuple):
+    """Per-window cross-attention K/V computed once from encoder output
+    (the reference's cache "threshold" reset trick, model.rs:84-90, made
+    explicit).  k, v: [L, B, H, n_audio_ctx, dh]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+
+def precompute_cross_kv(params: dict, xa: jnp.ndarray, dims: ModelDims) -> CrossKV:
+    """xa: [B, 1500, D] -> stacked K/V projections for every decoder layer."""
+    n_head = dims.n_text_head
+
+    def per_layer(bp):
+        ca = bp["cross_attn"]
+        k = _split_heads(linear(xa, ca["key"]), n_head)
+        v = _split_heads(linear(xa, ca["value"]), n_head)
+        return k, v
+
+    k, v = jax.vmap(per_layer)(params["decoder"]["blocks"])
+    return CrossKV(k, v)
+
+
+def decoder_forward(
+    params: dict,
+    tokens: jnp.ndarray,  # [B, T] int32 (T static: prefill width or 1)
+    pos_offset: jnp.ndarray,  # scalar int32: absolute position of tokens[:, 0]
+    cross_kv: CrossKV,
+    cache: KVCache,
+    dims: ModelDims,
+    *,
+    logits_dtype=jnp.float32,
+) -> tuple:
+    """One decoder pass (prefill if T>1, incremental if T==1).
+
+    Returns (logits [B, T, n_vocab], updated cache).  Token + positional
+    embedding sliced at offset (model.rs:503-506); N blocks with self- and
+    cross-attention; final LN; logits via tied embedding (model.rs:518-521).
+    """
+    dec = params["decoder"]
+    B, T = tokens.shape
+    n_head = dims.n_text_head
+    d_head = dims.head_dim
+    scale = d_head**-0.25
+
+    tok_emb = dec["token_emb"]
+    x = tok_emb[tokens] + lax.dynamic_slice_in_dim(
+        dec["pos_emb"], pos_offset, T, axis=0
+    )
+    x = x.astype(cache.k.dtype)
+
+    # absolute positions of the T query tokens and the causal key mask:
+    # query at abs pos p sees cache slots <= p (hides unwritten slots too).
+    q_pos = pos_offset + jnp.arange(T)  # [T]
+    key_idx = jnp.arange(dims.n_text_ctx)  # [n_ctx]
+    neg = jnp.asarray(-jnp.inf, dtype=jnp.float32)
+    self_mask = jnp.where(key_idx[None, :] <= q_pos[:, None], 0.0, neg)  # [T, n_ctx]
+    self_mask = self_mask[None, None]  # [1, 1, T, n_ctx]
+
+    def block(carry, layer_in):
+        x = carry
+        bp, ck, cv, cache_k, cache_v = layer_in
+
+        # -- self-attention over the static cache --------------------------
+        h = layer_norm(x, bp["attn_ln"])
+        q = _split_heads(linear(h, bp["attn"]["query"]), n_head) * scale
+        k_new = _split_heads(linear(h, bp["attn"]["key"]), n_head)
+        v_new = _split_heads(linear(h, bp["attn"]["value"]), n_head)
+        cache_k = lax.dynamic_update_slice(
+            cache_k, k_new, (0, 0, pos_offset, 0)
+        )  # [B, H, n_ctx, dh]
+        cache_v = lax.dynamic_update_slice(cache_v, v_new, (0, 0, pos_offset, 0))
+        attn = _attend(q, cache_k * scale, cache_v, self_mask)
+        x = x + linear(_merge_heads(attn), bp["attn"]["out"])
+
+        # -- cross-attention against precomputed encoder K/V ---------------
+        h = layer_norm(x, bp["cross_attn_ln"])
+        qx = _split_heads(linear(h, bp["cross_attn"]["query"]), n_head) * scale
+        attn = _attend(qx, ck.astype(x.dtype) * scale, cv.astype(x.dtype), None)
+        x = x + linear(_merge_heads(attn), bp["cross_attn"]["out"])
+
+        # -- MLP ------------------------------------------------------------
+        h = layer_norm(x, bp["mlp_ln"])
+        x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
+        return x, (cache_k, cache_v)
+
+    x, (new_k, new_v) = lax.scan(
+        block, x, (dec["blocks"], cross_kv.k, cross_kv.v, cache.k, cache.v)
+    )
+
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.einsum(
+        "btd,vd->btv",
+        x.astype(logits_dtype),
+        tok_emb.astype(logits_dtype),
+        preferred_element_type=logits_dtype,
+    )
+    return logits, KVCache(new_k, new_v)
+
+
+def model_forward(
+    params: dict, mel: jnp.ndarray, tokens: jnp.ndarray, dims: ModelDims
+) -> jnp.ndarray:
+    """Whole-model convenience forward (reference ``Whisper::forward_ext``,
+    model.rs:586-589): encoder + full-prompt decoder pass at offset 0."""
+    xa = encoder_forward(params, mel, dims)
+    cross_kv = precompute_cross_kv(params, xa, dims)
+    cache = KVCache.init(dims, tokens.shape[0], dtype=xa.dtype)
+    logits, _ = decoder_forward(
+        params, tokens, jnp.int32(0), cross_kv, cache, dims
+    )
+    return logits
