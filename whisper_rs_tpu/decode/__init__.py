@@ -1,0 +1,20 @@
+from .filters import FilterConfig, apply_filters
+from .loop import DecodeResult, decode_beam, decode_greedy
+from .prompt import DecodePrompt, pad_initial_tokens, prefill_bucket
+from .ranker import candidate_lengths, rank_max_likelihood
+from .task import DecodeOutput, DecodeTask
+
+__all__ = [
+    "DecodeOutput",
+    "DecodePrompt",
+    "DecodeResult",
+    "DecodeTask",
+    "FilterConfig",
+    "apply_filters",
+    "candidate_lengths",
+    "decode_beam",
+    "decode_greedy",
+    "pad_initial_tokens",
+    "prefill_bucket",
+    "rank_max_likelihood",
+]

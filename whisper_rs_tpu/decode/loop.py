@@ -1,0 +1,449 @@
+"""On-device single-window decode: prefill + lax.while_loop over steps.
+
+This is the TPU-native replacement for the reference's host-driven main loop
+(``decode/mod.rs:220-282``) and its extractors:
+
+  * greedy (extractor/greedy.rs — left unfinished upstream: finalize is
+    ``todo!()`` at greedy.rs:60 and construction ``todo!()`` at
+    decode/mod.rs:134; implemented fully here, it is BASELINE config #1),
+  * beam search (extractor/beam_search.rs — upstream runs it on the host
+    with a HashMap and per-candidate scalar device reads every step; here
+    the whole search is vectorized `lax.top_k`/sort/gather inside the loop,
+    and the KV-cache beam reorder (beam_search.rs:111-114 →
+    model.rs:53-62) is a batched on-device gather).
+
+Everything — model step, logit filters, token extraction, finished-
+hypothesis bookkeeping, termination — runs under one jit; the host sees
+only the final result arrays.
+
+Beam-search dedup note: the reference dedups candidate sequences via its
+HashMap key (beam_search.rs:56-79), which only matters at the first step
+when all beams hold identical prefixes.  We instead initialize
+``sum_logprobs`` to ``[0, -inf, -inf, ...]`` per audio (the standard
+flax-style trick): duplicate candidates from beams >0 start at -inf and can
+never enter the top-k, and after step one all live prefixes are distinct by
+induction, so the outcomes are identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import BeamSearchMode, GreedyMode, ModelDims
+from ..models.whisper import (
+    CrossKV,
+    KVCache,
+    decoder_forward,
+    encoder_forward,
+    precompute_cross_kv,
+)
+from .filters import FilterConfig, apply_filters, _log_softmax
+
+BIG_NEG = -1e9  # finite stand-in for -inf in scores (keeps arithmetic NaN-free)
+
+
+class DecodeResult(NamedTuple):
+    """Raw device-side outputs of one window decode (per audio)."""
+
+    candidates: jnp.ndarray  # [n_audio, n_cand, n_ctx] i32 (EOT-terminated)
+    scores: jnp.ndarray  # [n_audio, n_cand] f32 cumulative logprob
+    no_speech_probs: jnp.ndarray  # [n_audio] f32
+    audio_features: jnp.ndarray  # [n_audio, n_audio_ctx, n_state]
+
+
+# ---------------------------------------------------------------------------
+# shared: encoder + prefill
+# ---------------------------------------------------------------------------
+
+
+def _encode_and_prefill(
+    params,
+    mel,  # [n_audio, n_mels, 3000]
+    initial_tokens,  # [n_audio, P] i32, prompt left-aligned
+    sample_begin,  # scalar i32
+    sot_idx,  # scalar i32
+    group_size: int,
+    dims: ModelDims,
+    cfg: FilterConfig,
+    no_speech_id: int,
+    compute_dtype,
+):
+    """Encoder forward, group repeat, prefill pass.
+
+    Returns (tokens buffer [B,n_ctx], first-step filtered logits [B,V],
+    cache, cross_kv, no_speech_probs [n_audio], audio_features).
+    The group repeat mirrors decode/mod.rs:307-313 (repeat_interleave by
+    beam/group size).
+    """
+    n_audio = mel.shape[0]
+    xa = encoder_forward(params, mel.astype(compute_dtype), dims)
+    audio_features = xa
+
+    # repeat_interleave along batch for beam/group
+    if group_size > 1:
+        xa = jnp.repeat(xa, group_size, axis=0)
+        initial_tokens = jnp.repeat(initial_tokens, group_size, axis=0)
+    B = n_audio * group_size
+
+    cross_kv = precompute_cross_kv(params, xa, dims)
+    cache = KVCache.init(dims, B, dtype=xa.dtype)
+
+    logits, cache = decoder_forward(
+        params, initial_tokens, jnp.int32(0), cross_kv, cache, dims
+    )  # [B, P, V] f32
+
+    # no_speech_prob: softmax at the SOT position on the first pass
+    # (decode/mod.rs:250-255)
+    sot_logits = jnp.take_along_axis(
+        logits, sot_idx[None, None, None].astype(jnp.int32).repeat(B, 0), axis=1
+    )[:, 0]
+    no_speech = jax.nn.softmax(sot_logits.astype(jnp.float32), axis=-1)[
+        :, no_speech_id
+    ]
+    no_speech_probs = no_speech[::group_size]  # de-interleave (mod.rs:336-338)
+
+    # logits for the first sampled position = row sample_begin-1
+    last = jnp.take_along_axis(
+        logits,
+        (sample_begin - 1)[None, None, None].astype(jnp.int32).repeat(B, 0),
+        axis=1,
+    )[:, 0].astype(jnp.float32)
+
+    # token buffer [B, n_ctx]: prompt then zeros
+    tokens = jnp.zeros((B, dims.n_text_ctx), jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
+
+    filtered = apply_filters(cfg, last, tokens, sample_begin, sample_begin)
+    return tokens, filtered, cache, cross_kv, no_speech_probs, audio_features
+
+
+def _step_logits(params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin):
+    """One incremental decoder step: feed the token at pos-1, return
+    filtered logits for position pos and the updated cache."""
+    B = tokens.shape[0]
+    tok_in = jnp.take_along_axis(
+        tokens, (pos - 1)[None, None].astype(jnp.int32).repeat(B, 0), axis=1
+    )  # [B, 1]
+    logits, cache = decoder_forward(
+        params, tok_in, pos - 1, cross_kv, cache, dims
+    )
+    filtered = apply_filters(
+        cfg, logits[:, 0].astype(jnp.float32), tokens, pos, sample_begin
+    )
+    return filtered, cache
+
+
+# ---------------------------------------------------------------------------
+# greedy
+# ---------------------------------------------------------------------------
+
+
+class _GreedyState(NamedTuple):
+    step: jnp.ndarray
+    pos: jnp.ndarray
+    tokens: jnp.ndarray  # [B, n_ctx]
+    sum_logprobs: jnp.ndarray  # [B]
+    finished: jnp.ndarray  # [B] bool
+    cache: KVCache
+
+
+def _greedy_update(logits, tokens, pos, sum_logprobs, finished, eot):
+    """Greedy extractor semantics (greedy.rs:22-53 / OpenAI GreedyDecoder):
+    argmax next token; accumulate logprob only for still-live rows; pin
+    finished rows to EOT."""
+    next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logprobs = _log_softmax(logits)
+    cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
+    sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, cur_lp)
+    next_tok = jnp.where(finished, eot, next_tok)
+    finished = finished | (next_tok == eot)
+    tokens = lax.dynamic_update_slice(
+        tokens, next_tok[:, None], (0, pos)
+    )
+    return tokens, sum_logprobs, finished
+
+
+def decode_greedy(
+    params,
+    mel,
+    initial_tokens,
+    sample_begin,
+    sot_idx,
+    dims: ModelDims,
+    cfg: FilterConfig,
+    mode: GreedyMode,
+    sample_len: int,
+    no_speech_id: int,
+    compute_dtype=jnp.float32,
+) -> DecodeResult:
+    eot = cfg.token_id_eot
+    n_ctx = dims.n_text_ctx
+
+    (tokens, first_logits, cache, cross_kv, no_speech, feats) = _encode_and_prefill(
+        params, mel, initial_tokens, sample_begin, sot_idx, 1, dims, cfg,
+        no_speech_id, compute_dtype,
+    )
+    B = tokens.shape[0]
+
+    sum_lp = jnp.zeros((B,), jnp.float32)
+    finished = jnp.zeros((B,), bool)
+    tokens, sum_lp, finished = _greedy_update(
+        first_logits, tokens, sample_begin, sum_lp, finished, eot
+    )
+
+    init = _GreedyState(
+        step=jnp.int32(1),
+        pos=sample_begin + 1,
+        tokens=tokens,
+        sum_logprobs=sum_lp,
+        finished=finished,
+        cache=cache,
+    )
+
+    def cond(s: _GreedyState):
+        # loop bounds from decode/mod.rs:234,274-276: sample_len steps max,
+        # stop when all rows emitted EOT or the context is full
+        return (s.step < sample_len) & ~jnp.all(s.finished) & (s.pos < n_ctx)
+
+    def body(s: _GreedyState):
+        logits, cache = _step_logits(
+            params, s.tokens, s.pos, cross_kv, s.cache, dims, cfg, sample_begin
+        )
+        tokens, sum_lp, finished = _greedy_update(
+            logits, s.tokens, s.pos, s.sum_logprobs, s.finished, eot
+        )
+        return _GreedyState(s.step + 1, s.pos + 1, tokens, sum_lp, finished, cache)
+
+    s = lax.while_loop(cond, body, init)
+
+    # finalize (OpenAI GreedyDecoder.finalize; the reference left this
+    # todo!(), greedy.rs:60): rows that never emitted EOT get one appended.
+    write_pos = jnp.minimum(s.pos, n_ctx - 1)
+    eot_col = jnp.where(
+        s.finished[:, None],
+        jnp.take_along_axis(
+            s.tokens, write_pos[None, None].astype(jnp.int32).repeat(s.tokens.shape[0], 0), axis=1
+        ),
+        jnp.full((s.tokens.shape[0], 1), eot, jnp.int32),
+    )
+    tokens = lax.dynamic_update_slice(s.tokens, eot_col, (0, write_pos))
+
+    return DecodeResult(
+        candidates=tokens[:, None, :],
+        scores=s.sum_logprobs[:, None],
+        no_speech_probs=no_speech,
+        audio_features=feats,
+    )
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+
+class _BeamState(NamedTuple):
+    step: jnp.ndarray
+    pos: jnp.ndarray
+    tokens: jnp.ndarray  # [n_audio*beam, n_ctx]
+    sum_logprobs: jnp.ndarray  # [n_audio*beam]
+    cache: KVCache
+    fin_tokens: jnp.ndarray  # [n_audio, cap, n_ctx]
+    fin_scores: jnp.ndarray  # [n_audio, cap]
+    fin_count: jnp.ndarray  # [n_audio] i32
+
+
+def _beam_step(
+    logits,  # [n_audio*beam, V] filtered, f32
+    s: _BeamState,
+    beam: int,
+    cap: int,
+    eot: int,
+):
+    """One beam-search update (beam_search.rs:22-148, vectorized).
+
+    Per audio: per-beam top-(beam+1) candidates ranked globally by cumulative
+    logprob; EOT candidates stream into the finished buffer (capacity = cap,
+    insertion in score order, matching beam_search.rs:122-137); the best
+    `beam` unfinished candidates continue, with tokens + KV cache gathered to
+    their source beams.
+    """
+    n_total, V = logits.shape
+    n_audio = n_total // beam
+    n_ctx = s.tokens.shape[-1]
+    K = beam * (beam + 1)
+
+    logprobs = _log_softmax(logits)
+    cum = s.sum_logprobs[:, None] + logprobs  # [n_audio*beam, V]
+    cum = cum.reshape(n_audio, beam, V)
+
+    # per-beam top-(beam+1) (beam_search.rs:62-65)
+    top_lp, top_tok = lax.top_k(cum, beam + 1)  # [n_audio, beam, beam+1]
+    score = top_lp.reshape(n_audio, K)
+    tok = top_tok.reshape(n_audio, K).astype(jnp.int32)
+    src = (jnp.arange(K) // (beam + 1))[None, :].repeat(n_audio, 0)
+
+    # global sort by score desc (beam_search.rs:85-87)
+    order = jnp.argsort(-score, axis=-1)
+    score = jnp.take_along_axis(score, order, axis=1)
+    tok = jnp.take_along_axis(tok, order, axis=1)
+    src = jnp.take_along_axis(src, order, axis=1)
+
+    is_fin = tok == eot
+
+    # ---- continuing beams: first `beam` unfinished in score order --------
+    unf = ~is_fin
+    rank_unf = jnp.cumsum(unf, axis=-1)
+    sel = unf & (rank_unf <= beam)
+    sel_pos = jnp.where(sel, jnp.arange(K)[None, :], K)
+    sel_idx = jnp.sort(sel_pos, axis=-1)[:, :beam]  # [n_audio, beam]
+
+    new_score = jnp.take_along_axis(score, sel_idx, axis=1).reshape(-1)
+    new_tok = jnp.take_along_axis(tok, sel_idx, axis=1).reshape(-1)
+    new_src = jnp.take_along_axis(src, sel_idx, axis=1)  # [n_audio, beam]
+    global_src = (new_src + jnp.arange(n_audio)[:, None] * beam).reshape(-1)
+
+    tokens = jnp.take(s.tokens, global_src, axis=0)
+    tokens = lax.dynamic_update_slice(tokens, new_tok[:, None], (0, s.pos))
+    cache = s.cache.reorder(global_src)
+
+    # ---- finished candidates -> capacity-capped buffer -------------------
+    # The reference walks candidates in score order and STOPS after saving
+    # beam_size unfinished ones (beam_search.rs:88-107), so an EOT candidate
+    # is only collected if it outranks the beam-th surviving candidate.
+    eligible_fin = is_fin & (rank_unf < beam)
+    rank_fin = jnp.cumsum(eligible_fin, axis=-1)
+    slot = s.fin_count[:, None] + rank_fin - 1  # [n_audio, K]
+    writable = eligible_fin & (slot < cap)
+    slot = jnp.where(writable, slot, cap)  # cap = out of range -> dropped
+
+    # candidate sequences: source-beam prefix + EOT at pos
+    fin_src = src + jnp.arange(n_audio)[:, None] * beam
+    cand = jnp.take(s.tokens, fin_src.reshape(-1), axis=0).reshape(
+        n_audio, K, n_ctx
+    )
+    cand = jax.vmap(
+        lambda c, t: lax.dynamic_update_slice(c, t[:, None], (0, s.pos))
+    )(cand, tok)
+
+    def insert(buf_t, buf_s, cand_t, cand_s, slots):
+        buf_t = buf_t.at[slots].set(cand_t, mode="drop")
+        buf_s = buf_s.at[slots].set(cand_s, mode="drop")
+        return buf_t, buf_s
+
+    fin_tokens, fin_scores = jax.vmap(insert)(
+        s.fin_tokens, s.fin_scores, cand, score, slot
+    )
+    fin_count = s.fin_count + jnp.sum(writable, axis=-1).astype(jnp.int32)
+
+    return _BeamState(
+        step=s.step + 1,
+        pos=s.pos + 1,
+        tokens=tokens,
+        sum_logprobs=new_score,
+        cache=cache,
+        fin_tokens=fin_tokens,
+        fin_scores=fin_scores,
+        fin_count=fin_count,
+    )
+
+
+def decode_beam(
+    params,
+    mel,
+    initial_tokens,
+    sample_begin,
+    sot_idx,
+    dims: ModelDims,
+    cfg: FilterConfig,
+    mode: BeamSearchMode,
+    sample_len: int,
+    no_speech_id: int,
+    compute_dtype=jnp.float32,
+) -> DecodeResult:
+    beam = mode.beam_size
+    # max finished candidates per audio (beam_search.rs:122-124)
+    cap = max(beam, int(round(mode.patience * beam)))
+    eot = cfg.token_id_eot
+    n_ctx = dims.n_text_ctx
+
+    (tokens, first_logits, cache, cross_kv, no_speech, feats) = _encode_and_prefill(
+        params, mel, initial_tokens, sample_begin, sot_idx, beam, dims, cfg,
+        no_speech_id, compute_dtype,
+    )
+    B = tokens.shape[0]
+    n_audio = B // beam
+
+    # dedup-free init: only beam 0 is live at step 0 (see module docstring)
+    sum_lp = jnp.where(
+        (jnp.arange(B) % beam) == 0, 0.0, BIG_NEG
+    ).astype(jnp.float32)
+
+    init = _BeamState(
+        step=jnp.int32(0),
+        pos=sample_begin,
+        tokens=tokens,
+        sum_logprobs=sum_lp,
+        cache=cache,
+        fin_tokens=jnp.zeros((n_audio, cap, n_ctx), jnp.int32),
+        fin_scores=jnp.full((n_audio, cap), BIG_NEG, jnp.float32),
+        fin_count=jnp.zeros((n_audio,), jnp.int32),
+    )
+
+    # first step uses the prefill logits
+    s = _beam_step(first_logits, init, beam, cap, eot)
+
+    def cond(st: _BeamState):
+        completed = jnp.all(st.fin_count >= cap)  # beam_search.rs:140-147
+        return (st.step < sample_len) & ~completed & (st.pos < n_ctx)
+
+    def body(st: _BeamState):
+        logits, cache = _step_logits(
+            params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg, sample_begin
+        )
+        st = st._replace(cache=cache)
+        return _beam_step(logits, st, beam, cap, eot)
+
+    s = lax.while_loop(cond, body, s)
+
+    # ---- finalize (beam_search.rs:151-206): backfill each audio that has
+    # fewer than beam finished sequences with its best unfinished beams,
+    # EOT-terminated.
+    write_pos = jnp.minimum(s.pos, n_ctx - 1)
+    live_tokens = s.tokens.reshape(n_audio, beam, n_ctx)
+    live_scores = s.sum_logprobs.reshape(n_audio, beam)
+    live_tokens = jax.vmap(
+        lambda c: lax.dynamic_update_slice(
+            c, jnp.full((beam, 1), eot, jnp.int32), (0, write_pos)
+        )
+    )(live_tokens)
+
+    order = jnp.argsort(-live_scores, axis=-1)  # best-first (rs:169-171 rev)
+    live_scores = jnp.take_along_axis(live_scores, order, axis=1)
+    live_tokens = jnp.take_along_axis(live_tokens, order[..., None], axis=1)
+
+    k = jnp.arange(beam)[None, :]
+    slot = s.fin_count[:, None] + k
+    writable = slot < beam  # insert only while count < beam_size (rs:165-180)
+    slot = jnp.where(writable, slot, cap)
+
+    def backfill(buf_t, buf_s, cand_t, cand_s, slots):
+        buf_t = buf_t.at[slots].set(cand_t, mode="drop")
+        buf_s = buf_s.at[slots].set(cand_s, mode="drop")
+        return buf_t, buf_s
+
+    fin_tokens, fin_scores = jax.vmap(backfill)(
+        s.fin_tokens, s.fin_scores, live_tokens, live_scores, slot
+    )
+
+    return DecodeResult(
+        candidates=fin_tokens,
+        scores=fin_scores,
+        no_speech_probs=no_speech,
+        audio_features=feats,
+    )

@@ -1,0 +1,197 @@
+"""DecodeTask: single-30s-window decode orchestration.
+
+Reference equivalent: ``DecodeTask`` (decode/mod.rs:121-419).  Differences by
+design:
+
+  * the whole window — encoder, prefill, decode loop, filters, extraction,
+    ranking — is ONE jitted function; the host only builds the prompt and
+    detokenizes the result;
+  * prompts are padded into a small set of static prefill buckets
+    (prompt.py) so prompt-conditioned windows don't recompile
+    (``sample_begin`` is a traced scalar);
+  * batching over utterances is first-class (the reference unsqueezes a
+    single mel, decode/mod.rs:288).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BeamSearchMode, DecodeOptions, GreedyMode, ModelDims
+from ..tokenize import Tokenizer
+from .filters import FilterConfig
+from .loop import decode_beam, decode_greedy
+from .prompt import DecodePrompt, pad_initial_tokens
+from .ranker import rank_max_likelihood
+
+
+@dataclasses.dataclass
+class DecodeOutput:
+    """Per-audio result (reference DecodeOutput, decode/mod.rs:109-119)."""
+
+    tokens: np.ndarray  # sampled tokens, [sample_begin..EOT) slice
+    text: str
+    avg_logprob: float
+    no_speech_prob: float
+    audio_features: Optional[np.ndarray] = None
+
+
+class DecodeTask:
+    def __init__(
+        self,
+        params,
+        dims: ModelDims,
+        tokenizer: Tokenizer,
+        options: DecodeOptions = DecodeOptions(),
+        compute_dtype=jnp.float32,
+        keep_audio_features: bool = False,
+    ):
+        self.params = params
+        self.dims = dims
+        self.tokenizer = tokenizer
+        self.options = options
+        self.compute_dtype = compute_dtype
+        self.keep_audio_features = keep_audio_features
+
+        # filter assembly (decode/mod.rs:156-190)
+        suppress: tuple = tuple(options.suppress_tokens or ())
+        if options.suppress_non_speech:
+            suppress = tuple(sorted(set(suppress) | set(tokenizer.non_speech_tokens())))
+
+        max_initial_ts_index = None
+        if options.timestamps and options.max_initial_timestamp is not None:
+            # precision = 30s / 1500 = 0.02s (decode/mod.rs:176-181)
+            precision = 30.0 / dims.n_audio_ctx
+            max_initial_ts_index = int(round(options.max_initial_timestamp / precision))
+
+        self.filter_cfg = FilterConfig(
+            n_vocab=dims.n_vocab,
+            token_id_eot=tokenizer.token_id_eot,
+            token_id_space=tokenizer.token_id_space,
+            token_id_ts_begin=tokenizer.token_id_ts_begin,
+            token_id_no_timestamps=tokenizer.token_id_no_timestamps,
+            suppress_blank=options.suppress_blank,
+            timestamps=options.timestamps,
+            suppress_ids=suppress,
+            max_initial_timestamp_index=max_initial_ts_index,
+        )
+        self.sample_len = (
+            options.sample_len
+            if options.sample_len is not None
+            else dims.sample_len_default
+        )
+        self._prompt = DecodePrompt.build(
+            None,
+            tokenizer.sequence_sot(),
+            tokenizer.token_id_sot,
+            tokenizer.token_id_startofprev,
+            dims.n_text_ctx,
+        )
+        self._compiled = {}
+
+    # -- prompt handling (decode/mod.rs:206-218) ----------------------------
+
+    def set_prompt(self, prompt: Optional[Sequence[int]]) -> None:
+        if prompt is not None and len(prompt) == 0:
+            prompt = None
+        self._prompt = DecodePrompt.build(
+            prompt,
+            self.tokenizer.sequence_sot(),
+            self.tokenizer.token_id_sot,
+            self.tokenizer.token_id_startofprev,
+            self.dims.n_text_ctx,
+        )
+
+    # -- compiled window function ------------------------------------------
+
+    def _window_fn(self, n_audio: int, prefill_width: int):
+        key = (n_audio, prefill_width)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        mode = self.options.mode
+        dims, cfg = self.dims, self.filter_cfg
+        sample_len = self.sample_len
+        no_speech_id = self.tokenizer.token_id_no_speech
+        eot = self.tokenizer.token_id_eot
+        length_penalty = self.options.length_penalty
+        compute_dtype = self.compute_dtype
+
+        decode_fn = decode_greedy if isinstance(mode, GreedyMode) else decode_beam
+
+        def run(params, mel, initial_tokens, sample_begin, sot_idx):
+            result = decode_fn(
+                params,
+                mel,
+                initial_tokens,
+                sample_begin,
+                sot_idx,
+                dims,
+                cfg,
+                mode,
+                sample_len,
+                no_speech_id,
+                compute_dtype,
+            )
+            selected, avg_logprob, lengths = rank_max_likelihood(
+                result, sample_begin, eot, length_penalty
+            )
+            return result, selected, avg_logprob, lengths
+
+        fn = jax.jit(run)
+        self._compiled[key] = fn
+        return fn
+
+    # -- run ---------------------------------------------------------------
+
+    def run(self, mel) -> List[DecodeOutput]:
+        """mel: [n_mels, 3000] or [n_audio, n_mels, 3000] -> one DecodeOutput
+        per audio (reference run/run_inner, decode/mod.rs:284-418)."""
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        n_audio = mel.shape[0]
+
+        prompt = self._prompt
+        initial = pad_initial_tokens(prompt, n_audio)
+
+        fn = self._window_fn(n_audio, initial.shape[1])
+        result, selected, avg_logprob, lengths = fn(
+            self.params,
+            mel,
+            jnp.asarray(initial),
+            jnp.int32(prompt.sample_begin),
+            jnp.int32(prompt.sot_idx),
+        )
+
+        candidates = np.asarray(result.candidates)
+        selected = np.asarray(selected)
+        avg_logprob = np.asarray(avg_logprob)
+        lengths = np.asarray(lengths)
+        no_speech = np.asarray(result.no_speech_probs)
+
+        outputs = []
+        for i in range(n_audio):
+            sel = int(selected[i])
+            length = int(lengths[i, sel])
+            toks = candidates[i, sel, prompt.sample_begin : prompt.sample_begin + length]
+            outputs.append(
+                DecodeOutput(
+                    tokens=toks,
+                    text=self.tokenizer.decode(toks),
+                    avg_logprob=float(avg_logprob[i]),
+                    no_speech_prob=float(no_speech[i]),
+                    audio_features=(
+                        np.asarray(result.audio_features[i])
+                        if self.keep_audio_features
+                        else None
+                    ),
+                )
+            )
+        return outputs

@@ -1,0 +1,178 @@
+"""Long-audio transcription: 30s-window seek loop with prompt conditioning
+and timestamp-guided segmentation.
+
+Reference: ``TranscribeTask`` (/root/reference/src/transcribe.rs).  The
+segmentation rules are replicated exactly — they define output correctness:
+
+  * consecutive-timestamp-pair splitting (transcribe.rs:167-210), with seek
+    advanced to the last pair's timestamp;
+  * single-window fallback with lone-trailing-timestamp duration trim
+    (transcribe.rs:211-233), advancing a full window;
+  * prompt conditioning: all tokens so far fed as ``<|startofprev|>`` prompt
+    when ``condition_on_prev_text`` (transcribe.rs:155-158).
+
+Documented deviation: segment ``start_token``/``end_token`` are global token
+indices in *both* branches (the reference uses global offsets in the
+consecutive branch but window-relative ones in the fallback branch,
+transcribe.rs:222-227 — an upstream inconsistency).
+
+The mel for the whole file is computed once up front (transcribe.rs:111-112)
+— on TPU via the fused Pallas frontend when available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import HOP_LENGTH, N_FRAMES, SAMPLE_RATE, log_mel_spectrogram, pad_or_trim
+from .config import ModelDims, TranscribeOptions
+from .decode import DecodeTask
+from .tokenize import Tokenizer
+
+# smallest time unit discernible by the model (transcribe.rs:117)
+QUANTUM = HOP_LENGTH / SAMPLE_RATE  # 0.01 s
+
+
+@dataclasses.dataclass
+class TranscribeSegment:
+    """reference TranscribeOutputSegment (transcribe.rs:59-67)."""
+
+    seek: int
+    start_time: float
+    end_time: float
+    start_token: int
+    end_token: int
+    text: str
+
+
+@dataclasses.dataclass
+class TranscribeOutput:
+    """reference TranscribeOutput (transcribe.rs:52-57)."""
+
+    tokens: np.ndarray
+    text: str
+    segments: List[TranscribeSegment]
+    # carried per-window quality metrics (decode/mod.rs computes these; the
+    # reference surfaces but never consumes them — transcribe.rs:165 TODO)
+    avg_logprobs: List[float] = dataclasses.field(default_factory=list)
+    no_speech_probs: List[float] = dataclasses.field(default_factory=list)
+
+
+class TranscribeTask:
+    def __init__(
+        self,
+        params,
+        dims: ModelDims,
+        tokenizer: Tokenizer,
+        options: TranscribeOptions = TranscribeOptions(),
+        compute_dtype=jnp.float32,
+    ):
+        self.dims = dims
+        self.tokenizer = tokenizer
+        self.options = options
+        self.decode_task = DecodeTask(
+            params, dims, tokenizer, options.decode, compute_dtype=compute_dtype
+        )
+
+    def run(self, audio, mel: Optional[np.ndarray] = None) -> TranscribeOutput:
+        """audio: [n_samples] f32 at 16 kHz (or pass a precomputed
+        ``mel`` [n_mels, n_frames])."""
+        if mel is None:
+            mel = log_mel_spectrogram(jnp.asarray(audio), self.dims.n_mels)
+        mel = jnp.asarray(mel)
+        n_frames = mel.shape[-1]
+
+        # mel frames per output token (=2) and seconds per timestamp
+        # position (=0.02) — transcribe.rs:117-122
+        input_stride = N_FRAMES // self.dims.n_audio_ctx
+        time_precision = input_stride * QUANTUM
+
+        opts = self.options
+        if opts.initial_prompt_tokens is not None:
+            tokens: List[int] = list(opts.initial_prompt_tokens)
+            condition = True
+        elif opts.initial_prompt_text is not None:
+            tokens = list(self.tokenizer.encode(opts.initial_prompt_text))
+            condition = True
+        else:
+            tokens = []
+            condition = opts.condition_on_prev_text
+
+        ts_begin = self.tokenizer.token_id_ts_begin
+        segments: List[TranscribeSegment] = []
+        avg_logprobs: List[float] = []
+        no_speech_probs: List[float] = []
+
+        seek = 0
+        while seek < n_frames:
+            window = pad_or_trim(mel[:, seek:], N_FRAMES)
+            segment_duration = 30.0
+
+            if condition:
+                self.decode_task.set_prompt(tokens)
+
+            result = self.decode_task.run(window)[0]
+            segment_tokens = np.asarray(result.tokens, np.int64)
+            avg_logprobs.append(result.avg_logprob)
+            no_speech_probs.append(result.no_speech_prob)
+
+            ts_offset = seek * QUANTUM
+            is_ts = segment_tokens >= ts_begin
+            # indices i+1 where both i and i+1 are timestamps
+            consecutive = np.nonzero(is_ts[:-1] & is_ts[1:])[0] + 1
+            token_offset = len(tokens)
+
+            if consecutive.size > 0:
+                last_slice = 0
+                for current_slice in consecutive:
+                    sliced = segment_tokens[last_slice:current_slice]
+                    start_ts = int(sliced[0]) - ts_begin
+                    end_ts = int(sliced[-1]) - ts_begin
+                    segments.append(
+                        TranscribeSegment(
+                            seek=seek,
+                            start_time=ts_offset + start_ts * time_precision,
+                            end_time=ts_offset + end_ts * time_precision,
+                            start_token=token_offset + last_slice + 1,
+                            end_token=token_offset + int(current_slice),
+                            text=self.tokenizer.decode(sliced),
+                        )
+                    )
+                    last_slice = int(current_slice)
+
+                last_ts = int(segment_tokens[last_slice - 1]) - ts_begin
+                seek += last_ts * input_stride
+                tokens.extend(int(t) for t in segment_tokens[: last_slice + 1])
+            else:
+                ts_positions = segment_tokens[is_ts]
+                if ts_positions.size > 0 and int(ts_positions[-1]) != ts_begin:
+                    # lone trailing timestamp: trim duration to it
+                    segment_duration = (
+                        int(ts_positions[-1]) - ts_begin
+                    ) * time_precision
+
+                segments.append(
+                    TranscribeSegment(
+                        seek=seek,
+                        start_time=ts_offset,
+                        end_time=ts_offset + segment_duration,
+                        start_token=token_offset,
+                        end_token=token_offset + len(segment_tokens),
+                        text=result.text,
+                    )
+                )
+                seek += N_FRAMES
+                tokens.extend(int(t) for t in segment_tokens)
+
+        tokens_arr = np.asarray(tokens, np.int64)
+        return TranscribeOutput(
+            tokens=tokens_arr,
+            text=self.tokenizer.decode(tokens_arr),
+            segments=segments,
+            avg_logprobs=avg_logprobs,
+            no_speech_probs=no_speech_probs,
+        )
