@@ -1,0 +1,108 @@
+"""Throughput benchmark: audio-seconds/s per chip.
+
+Runs the full single-window pipeline (mel -> encoder -> greedy decode with
+filters, full 224-step budget — a conservative worst case: real decode
+terminates at EOT) on whatever accelerator JAX_PLATFORMS provides (the real
+TPU chip under the driver).  Prints ONE JSON line.
+
+``vs_baseline`` is the real-time factor (audio-seconds transcribed per
+wall-clock second; 1.0 = real time).  The reference publishes no benchmark
+numbers at all (BASELINE.md), so real-time rate is the meaningful anchor.
+
+Env knobs:
+  BENCH_MODEL  (default base.en)   BENCH_BATCH (default 8)
+  BENCH_STEPS  decode steps (default: full sample_len 224)
+  BENCH_ITERS  timed iterations (default 3)
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    model_name = os.environ.get("BENCH_MODEL", "base.en")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    from whisper_rs_tpu.audio import log_mel_spectrogram
+    from whisper_rs_tpu.config import GreedyMode, dims_for
+    from whisper_rs_tpu.decode import FilterConfig, decode_greedy
+    from whisper_rs_tpu.models import init_params
+
+    dims = dims_for(model_name)
+    steps = int(os.environ.get("BENCH_STEPS", str(dims.sample_len_default)))
+
+    # bf16 params/compute on accelerators, f32 on CPU
+    on_cpu = jax.devices()[0].platform == "cpu"
+    dtype = jnp.float32 if on_cpu else jnp.bfloat16
+
+    params = init_params(jax.random.PRNGKey(0), dims, dtype=dtype)
+
+    cfg = FilterConfig(
+        n_vocab=dims.n_vocab,
+        token_id_eot=50256,
+        token_id_space=220,
+        token_id_ts_begin=50363,
+        token_id_no_timestamps=50362,
+        suppress_blank=True,
+        timestamps=True,
+        suppress_ids=(1, 2, 7),
+        max_initial_timestamp_index=50,
+    )
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.1
+    initial = np.asarray([[50257]] * batch, np.int32)
+
+    @jax.jit
+    def pipeline(params, audio, initial_tokens):
+        mel = log_mel_spectrogram(audio, dims.n_mels, dtype=dtype)
+        return decode_greedy(
+            params,
+            mel,
+            initial_tokens,
+            jnp.int32(1),
+            jnp.int32(0),
+            dims,
+            cfg,
+            GreedyMode(),
+            steps,
+            no_speech_id=50361,
+            compute_dtype=dtype,
+        )
+
+    args = (params, jnp.asarray(audio), jnp.asarray(initial))
+
+    # warmup / compile
+    jax.block_until_ready(pipeline(*args))
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipeline(*args))
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    audio_seconds = batch * 30.0
+    throughput = audio_seconds / best
+
+    print(
+        json.dumps(
+            {
+                "metric": f"audio-seconds/s per chip ({model_name}, greedy, "
+                f"batch={batch}, {steps} decode steps)",
+                "value": round(throughput, 2),
+                "unit": "audio-s/s",
+                "vs_baseline": round(throughput, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
