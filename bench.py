@@ -29,10 +29,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
-    from whisper_rs_tpu.audio import log_mel_spectrogram
     from whisper_rs_tpu.config import GreedyMode, dims_for
     from whisper_rs_tpu.decode import FilterConfig, decode_greedy
     from whisper_rs_tpu.models import init_params
+    from whisper_rs_tpu.ops.mel_pallas import log_mel_frontend
 
     dims = dims_for(model_name)
     steps = int(os.environ.get("BENCH_STEPS", str(dims.sample_len_default)))
@@ -61,7 +61,7 @@ def main():
 
     @jax.jit
     def pipeline(params, audio, initial_tokens):
-        mel = log_mel_spectrogram(audio, dims.n_mels, dtype=dtype)
+        mel = log_mel_frontend(audio, dims.n_mels, dtype=dtype)
         return decode_greedy(
             params,
             mel,
@@ -76,15 +76,20 @@ def main():
             compute_dtype=dtype,
         )
 
-    args = (params, jnp.asarray(audio), jnp.asarray(initial))
+    # distinct input buffers per iteration (identical repeats can be
+    # short-circuited by the remote runtime) and a forced host transfer so
+    # the timing covers real end-to-end execution.
+    audios = [jnp.asarray(audio + 0.001 * i) for i in range(iters + 1)]
+    init_j = jnp.asarray(initial)
 
     # warmup / compile
-    jax.block_until_ready(pipeline(*args))
+    np.asarray(pipeline(params, audios[0], init_j).candidates)
 
     times = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(pipeline(*args))
+        res = pipeline(params, audios[i + 1], init_j)
+        np.asarray(res.candidates)
         times.append(time.perf_counter() - t0)
 
     best = min(times)

@@ -1,0 +1,84 @@
+"""BatchTranscriber: lockstep batched seek loops with per-utterance prompts,
+validated against the single-utterance TranscribeTask on the same model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_rs_tpu.config import (
+    DecodeOptions,
+    GreedyMode,
+    ModelDims,
+    TranscribeOptions,
+)
+from whisper_rs_tpu.models import init_params
+from whisper_rs_tpu.parallel.batch import BatchTranscriber
+from whisper_rs_tpu.transcribe import TranscribeTask
+
+DIMS = ModelDims(80, 1000, 1500, 64, 4, 2, 448, 64, 4, 2)
+
+
+class SmallTokenizer:
+    """Duck-typed tokenizer with IDs inside the tiny test vocab."""
+
+    token_id_sot = 501
+    token_id_eot = 500
+    token_id_no_speech = 502
+    token_id_startofprev = 503
+    token_id_startoflm = 504
+    token_id_no_timestamps = 599
+    token_id_ts_begin = 600
+    token_id_space = 7
+
+    def decode(self, toks):
+        return "".join(f"<{int(t)}>" for t in toks if int(t) < 500)
+
+    def encode(self, text):
+        return [9, 8]
+
+    def sequence_sot(self):
+        return [self.token_id_sot]
+
+    def non_speech_tokens(self):
+        return (3, 5)
+
+
+OPTS = TranscribeOptions(
+    decode=DecodeOptions(
+        mode=GreedyMode(),
+        sample_len=8,
+        max_initial_timestamp=1.0,
+    ),
+    condition_on_prev_text=True,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(jax.random.PRNGKey(21), DIMS)
+    rng = np.random.default_rng(9)
+    # two utterances: ~35s and ~20s (different window counts)
+    a1 = (rng.standard_normal(16000 * 35) * 0.1).astype(np.float32)
+    a2 = (rng.standard_normal(16000 * 20) * 0.1).astype(np.float32)
+    return params, [a1, a2]
+
+
+def test_batch_matches_sequential(setup):
+    params, audios = setup
+    tok = SmallTokenizer()
+
+    batch = BatchTranscriber(params, DIMS, tok, OPTS, batch_size=2)
+    outs = batch.run(audios)
+
+    for audio, got in zip(audios, outs):
+        task = TranscribeTask(params, DIMS, tok, OPTS)
+        want = task.run(audio)
+        assert got.text == want.text
+        np.testing.assert_array_equal(got.tokens, want.tokens)
+        assert len(got.segments) == len(want.segments)
+        for gs, ws in zip(got.segments, want.segments):
+            assert gs.seek == ws.seek
+            assert gs.start_time == pytest.approx(ws.start_time)
+            assert gs.end_time == pytest.approx(ws.end_time)
+            assert gs.text == ws.text

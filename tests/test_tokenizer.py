@@ -1,0 +1,84 @@
+"""Tokenizer wrapper tests against the GPT-2 vocab (reference fixture
+tokenizer/gpt2.json; reference behavior at tokenize.rs:140-321)."""
+
+import pathlib
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path("/root/reference/tokenizer/gpt2.json").exists(),
+    reason="gpt2.json fixture unavailable",
+)
+
+from whisper_rs_tpu.tokenize import Task, Tokenizer
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return Tokenizer(Task.TRANSCRIBE)
+
+
+def test_special_token_ids(tok):
+    # gpt2 vocab: 0..50256 (eot=50256); specials appended in canonical order
+    assert tok.token_id_eot == 50256
+    assert tok.token_id_sot == 50257
+    # 99 language tags follow sot
+    assert tok.token_id_translate == 50257 + 100
+    assert tok.token_id_transcribe == 50257 + 101
+    assert tok.token_id_startoflm == 50257 + 102
+    assert tok.token_id_startofprev == 50257 + 103
+    assert tok.token_id_no_speech == 50257 + 104
+    assert tok.token_id_no_timestamps == 50257 + 105
+    # virtual timestamps begin right after the last special
+    assert tok.token_id_ts_begin == 50257 + 106
+
+
+def test_encode_decode_roundtrip(tok):
+    text = " And so my fellow Americans"
+    ids = tok.encode(text)
+    assert isinstance(ids, list) and len(ids) > 0
+    assert tok.decode(ids) == text
+
+
+def test_decode_skips_timestamp_and_special_tokens(tok):
+    ids = tok.encode(" hello world")
+    with_ts = [tok.token_id_sot, tok.token_id_ts_begin] + ids + [
+        tok.token_id_ts_begin + 50,
+        tok.token_id_eot,
+    ]
+    assert tok.decode(with_ts) == " hello world"
+
+
+def test_decode_with_timestamps(tok):
+    ids = tok.encode(" hi")
+    seq = [tok.token_id_ts_begin] + ids + [tok.token_id_ts_begin + 100]
+    out = tok.decode_with_timestamps(seq)
+    assert out.startswith("<|0.00|>")
+    assert out.endswith("<|2.00|>")
+    assert " hi" in out
+
+
+def test_sequence_sot_english_only(tok):
+    # en-only vocab: bare [sot] (tokenize.rs:201-205)
+    assert tok.sequence_sot() == [tok.token_id_sot]
+
+
+def test_non_speech_tokens(tok):
+    ns = tok.non_speech_tokens()
+    assert len(ns) > 30
+    assert ns == tuple(sorted(ns))
+    # '#' encodes to one token and must be suppressed
+    hash_id = tok.encode("#")[0]
+    assert hash_id in ns
+    # " -" first token
+    dash_id = tok.encode(" -")[0]
+    assert dash_id in ns
+    # basic punctuation NOT suppressed
+    for keep in [",", ".", "?", "!"]:
+        ids = tok.encode(keep)
+        if len(ids) == 1:
+            assert ids[0] not in ns
+
+
+def test_token_id_space(tok):
+    assert tok.token_id_space == tok.encode(" hello")[0] or tok.token_id_space == tok.encode(" ")[0]

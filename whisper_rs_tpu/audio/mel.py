@@ -194,11 +194,12 @@ def log_mel_spectrogram(
     # reference drops the last STFT frame (audio.rs:247 slice(1, None, -1))
     frames = frames[:-1] * window[None, :]
 
-    re = frames @ cos_b  # [n_frames, 201]
-    im = frames @ sin_b
+    hi = jax.lax.Precision.HIGHEST  # bf16 MXU default wrecks log-floor bins
+    re = jnp.matmul(frames, cos_b, precision=hi)  # [n_frames, 201]
+    im = jnp.matmul(frames, sin_b, precision=hi)
     power = re * re + im * im
 
-    mel_spec = power @ mel_fb.T  # [n_frames, n_mels]
+    mel_spec = jnp.matmul(power, mel_fb.T, precision=hi)  # [n_frames, n_mels]
     log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
     log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
     out = (log_spec + 4.0) / 4.0

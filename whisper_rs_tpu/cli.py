@@ -1,0 +1,125 @@
+"""Command-line transcription entry point.
+
+Reference equivalent: examples/transcribe.rs (the example binary doubling as
+the app layer).  Defaults mirror it: beam=5, patience=1.0, timestamps on,
+suppress blank+non-speech, max_initial_timestamp=1.0s.
+
+Usage:
+  python -m whisper_rs_tpu.cli AUDIO.wav --checkpoint base.en.pt \
+      [--model-name base.en] [--greedy] [--beam 5] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="whisper_rs_tpu", description=__doc__)
+    p.add_argument("audio", nargs="+", help="audio file(s): wav (mp3 via native runtime)")
+    p.add_argument("--checkpoint", required=True, help="OpenAI whisper .pt checkpoint")
+    p.add_argument("--tokenizer", default=None, help="tokenizer json (gpt2)")
+    p.add_argument("--language", default="en")
+    p.add_argument("--task", default="transcribe", choices=["transcribe", "translate"])
+    p.add_argument("--greedy", action="store_true", help="greedy decode instead of beam")
+    p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--patience", type=float, default=1.0)
+    p.add_argument("--length-penalty", type=float, default=None)
+    p.add_argument("--max-initial-timestamp", type=float, default=1.0)
+    p.add_argument("--no-timestamps", action="store_true")
+    p.add_argument("--no-condition-on-prev-text", action="store_true")
+    p.add_argument("--initial-prompt", default=None)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel chips")
+    p.add_argument("--json", action="store_true", help="emit JSON output")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from .audio.io import load_audio
+    from .config import BeamSearchMode, DecodeOptions, GreedyMode, TranscribeOptions
+    from .models import load_openai_checkpoint
+    from .tokenize import Task, Tokenizer
+    from .transcribe import TranscribeTask
+    from .utils.debug import log, step_timer
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    with step_timer("load checkpoint"):
+        params, dims = load_openai_checkpoint(args.checkpoint, dtype=dtype)
+
+    if args.tp > 1:
+        from .parallel import make_mesh, shard_params
+
+        mesh = make_mesh(n_model=args.tp)
+        params = shard_params(mesh, params)
+        log.info("sharded params over mesh %s", mesh)
+
+    tokenizer = Tokenizer(
+        Task.TRANSLATE if args.task == "translate" else Task.TRANSCRIBE,
+        tokenizer_json=args.tokenizer,
+        language=args.language,
+    )
+
+    mode = (
+        GreedyMode()
+        if args.greedy
+        else BeamSearchMode(beam_size=args.beam, patience=args.patience)
+    )
+    options = TranscribeOptions(
+        decode=DecodeOptions(
+            mode=mode,
+            length_penalty=args.length_penalty,
+            max_initial_timestamp=args.max_initial_timestamp,
+            timestamps=not args.no_timestamps,
+        ),
+        initial_prompt_text=args.initial_prompt,
+        condition_on_prev_text=not args.no_condition_on_prev_text,
+    )
+
+    task = TranscribeTask(params, dims, tokenizer, options, compute_dtype=dtype)
+
+    rc = 0
+    for path in args.audio:
+        try:
+            audio = load_audio(path)
+        except Exception as e:
+            print(f"{path}: failed to load: {e}", file=sys.stderr)
+            rc = 1
+            continue
+        secs = len(audio) / 16000.0
+        with step_timer(f"transcribe {path}", audio_seconds=secs):
+            out = task.run(audio)
+        if args.json:
+            print(
+                json.dumps(
+                    {
+                        "file": path,
+                        "text": out.text,
+                        "segments": [
+                            {
+                                "start": s.start_time,
+                                "end": s.end_time,
+                                "text": s.text,
+                            }
+                            for s in out.segments
+                        ],
+                    }
+                )
+            )
+        else:
+            print(f"== {path}")
+            for s in out.segments:
+                print(f"[{s.start_time:7.2f} -> {s.end_time:7.2f}] {s.text}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

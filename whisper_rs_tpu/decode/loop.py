@@ -65,7 +65,7 @@ class DecodeResult(NamedTuple):
 def _encode_and_prefill(
     params,
     mel,  # [n_audio, n_mels, 3000]
-    initial_tokens,  # [n_audio, P] i32, prompt left-aligned
+    initial_tokens,  # [n_audio, P] i32
     sample_begin,  # scalar i32
     sot_idx,  # scalar i32
     group_size: int,
@@ -73,6 +73,7 @@ def _encode_and_prefill(
     cfg: FilterConfig,
     no_speech_id: int,
     compute_dtype,
+    key_start=None,  # [n_audio] i32: first valid prompt slot per row (or None)
 ):
     """Encoder forward, group repeat, prefill pass.
 
@@ -89,13 +90,16 @@ def _encode_and_prefill(
     if group_size > 1:
         xa = jnp.repeat(xa, group_size, axis=0)
         initial_tokens = jnp.repeat(initial_tokens, group_size, axis=0)
+        if key_start is not None:
+            key_start = jnp.repeat(key_start, group_size, axis=0)
     B = n_audio * group_size
 
     cross_kv = precompute_cross_kv(params, xa, dims)
     cache = KVCache.init(dims, B, dtype=xa.dtype)
 
     logits, cache = decoder_forward(
-        params, initial_tokens, jnp.int32(0), cross_kv, cache, dims
+        params, initial_tokens, jnp.int32(0), cross_kv, cache, dims,
+        key_start=key_start,
     )  # [B, P, V] f32
 
     # no_speech_prob: softmax at the SOT position on the first pass
@@ -120,10 +124,12 @@ def _encode_and_prefill(
     tokens = lax.dynamic_update_slice(tokens, initial_tokens, (0, 0))
 
     filtered = apply_filters(cfg, last, tokens, sample_begin, sample_begin)
-    return tokens, filtered, cache, cross_kv, no_speech_probs, audio_features
+    return tokens, filtered, cache, cross_kv, no_speech_probs, audio_features, key_start
 
 
-def _step_logits(params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin):
+def _step_logits(
+    params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin, key_start=None
+):
     """One incremental decoder step: feed the token at pos-1, return
     filtered logits for position pos and the updated cache."""
     B = tokens.shape[0]
@@ -131,7 +137,7 @@ def _step_logits(params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin):
         tokens, (pos - 1)[None, None].astype(jnp.int32).repeat(B, 0), axis=1
     )  # [B, 1]
     logits, cache = decoder_forward(
-        params, tok_in, pos - 1, cross_kv, cache, dims
+        params, tok_in, pos - 1, cross_kv, cache, dims, key_start=key_start
     )
     filtered = apply_filters(
         cfg, logits[:, 0].astype(jnp.float32), tokens, pos, sample_begin
@@ -181,13 +187,14 @@ def decode_greedy(
     sample_len: int,
     no_speech_id: int,
     compute_dtype=jnp.float32,
+    key_start=None,
 ) -> DecodeResult:
     eot = cfg.token_id_eot
     n_ctx = dims.n_text_ctx
 
-    (tokens, first_logits, cache, cross_kv, no_speech, feats) = _encode_and_prefill(
+    (tokens, first_logits, cache, cross_kv, no_speech, feats, key_start) = _encode_and_prefill(
         params, mel, initial_tokens, sample_begin, sot_idx, 1, dims, cfg,
-        no_speech_id, compute_dtype,
+        no_speech_id, compute_dtype, key_start,
     )
     B = tokens.shape[0]
 
@@ -213,7 +220,8 @@ def decode_greedy(
 
     def body(s: _GreedyState):
         logits, cache = _step_logits(
-            params, s.tokens, s.pos, cross_kv, s.cache, dims, cfg, sample_begin
+            params, s.tokens, s.pos, cross_kv, s.cache, dims, cfg, sample_begin,
+            key_start,
         )
         tokens, sum_lp, finished = _greedy_update(
             logits, s.tokens, s.pos, s.sum_logprobs, s.finished, eot
@@ -365,6 +373,7 @@ def decode_beam(
     sample_len: int,
     no_speech_id: int,
     compute_dtype=jnp.float32,
+    key_start=None,
 ) -> DecodeResult:
     beam = mode.beam_size
     # max finished candidates per audio (beam_search.rs:122-124)
@@ -372,9 +381,9 @@ def decode_beam(
     eot = cfg.token_id_eot
     n_ctx = dims.n_text_ctx
 
-    (tokens, first_logits, cache, cross_kv, no_speech, feats) = _encode_and_prefill(
+    (tokens, first_logits, cache, cross_kv, no_speech, feats, key_start) = _encode_and_prefill(
         params, mel, initial_tokens, sample_begin, sot_idx, beam, dims, cfg,
-        no_speech_id, compute_dtype,
+        no_speech_id, compute_dtype, key_start,
     )
     B = tokens.shape[0]
     n_audio = B // beam
@@ -404,7 +413,8 @@ def decode_beam(
 
     def body(st: _BeamState):
         logits, cache = _step_logits(
-            params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg, sample_begin
+            params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg, sample_begin,
+            key_start,
         )
         st = st._replace(cache=cache)
         return _beam_step(logits, st, beam, cap, eot)

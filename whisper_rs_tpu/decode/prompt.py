@@ -69,3 +69,39 @@ def pad_initial_tokens(prompt: DecodePrompt, batch: int) -> np.ndarray:
     row = np.zeros((b,), np.int32)
     row[: prompt.sample_begin] = prompt.initial_tokens
     return np.tile(row[None, :], (batch, 1))
+
+
+def build_batch_prompts(
+    prompts,  # list[Optional[Sequence[int]]], one per utterance
+    sot_sequence: Sequence[int],
+    token_id_sot: int,
+    token_id_startofprev: int,
+    n_text_ctx: int = 448,
+):
+    """Per-row prompts of different lengths, packed END-aligned into one
+    static bucket.
+
+    Every row's prompt is right-aligned so generation starts at the shared
+    ``sample_begin`` (= the bucket width); rows shorter than the bucket get
+    zero left-padding masked out of attention via ``key_start``.
+
+    Returns (tokens [B, P] int32, key_start [B] int32, sample_begin=P,
+    sot_idx) — sot_idx is the same for every row because the sot sequence
+    sits at the end.
+    """
+    sot_sequence = list(sot_sequence)
+    rows = []
+    for p in prompts:
+        if p is not None and len(p) > 0:
+            max_prompt = n_text_ctx // 2 - 1
+            rows.append([token_id_startofprev] + list(p)[-max_prompt:] + sot_sequence)
+        else:
+            rows.append(list(sot_sequence))
+    P = prefill_bucket(max(len(r) for r in rows))
+    tokens = np.zeros((len(rows), P), np.int32)
+    key_start = np.zeros((len(rows),), np.int32)
+    for i, r in enumerate(rows):
+        tokens[i, P - len(r) :] = r
+        key_start[i] = P - len(r)
+    sot_idx = P - len(sot_sequence)  # sot position, shared across rows
+    return tokens, key_start, P, sot_idx

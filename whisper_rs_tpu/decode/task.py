@@ -27,7 +27,7 @@ from ..config import BeamSearchMode, DecodeOptions, GreedyMode, ModelDims
 from ..tokenize import Tokenizer
 from .filters import FilterConfig
 from .loop import decode_beam, decode_greedy
-from .prompt import DecodePrompt, pad_initial_tokens
+from .prompt import build_batch_prompts
 from .ranker import rank_max_likelihood
 
 
@@ -86,13 +86,7 @@ class DecodeTask:
             if options.sample_len is not None
             else dims.sample_len_default
         )
-        self._prompt = DecodePrompt.build(
-            None,
-            tokenizer.sequence_sot(),
-            tokenizer.token_id_sot,
-            tokenizer.token_id_startofprev,
-            dims.n_text_ctx,
-        )
+        self._prompt_tokens: Optional[Sequence[int]] = None
         self._compiled = {}
 
     # -- prompt handling (decode/mod.rs:206-218) ----------------------------
@@ -100,18 +94,12 @@ class DecodeTask:
     def set_prompt(self, prompt: Optional[Sequence[int]]) -> None:
         if prompt is not None and len(prompt) == 0:
             prompt = None
-        self._prompt = DecodePrompt.build(
-            prompt,
-            self.tokenizer.sequence_sot(),
-            self.tokenizer.token_id_sot,
-            self.tokenizer.token_id_startofprev,
-            self.dims.n_text_ctx,
-        )
+        self._prompt_tokens = list(prompt) if prompt is not None else None
 
     # -- compiled window function ------------------------------------------
 
-    def _window_fn(self, n_audio: int, prefill_width: int):
-        key = (n_audio, prefill_width)
+    def _window_fn(self, n_audio: int, prefill_width: int, with_key_start: bool = False):
+        key = (n_audio, prefill_width, with_key_start)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -125,7 +113,7 @@ class DecodeTask:
 
         decode_fn = decode_greedy if isinstance(mode, GreedyMode) else decode_beam
 
-        def run(params, mel, initial_tokens, sample_begin, sot_idx):
+        def run(params, mel, initial_tokens, sample_begin, sot_idx, key_start=None):
             result = decode_fn(
                 params,
                 mel,
@@ -138,6 +126,7 @@ class DecodeTask:
                 sample_len,
                 no_speech_id,
                 compute_dtype,
+                key_start=key_start,
             )
             selected, avg_logprob, lengths = rank_max_likelihood(
                 result, sample_begin, eot, length_penalty
@@ -152,24 +141,51 @@ class DecodeTask:
 
     def run(self, mel) -> List[DecodeOutput]:
         """mel: [n_mels, 3000] or [n_audio, n_mels, 3000] -> one DecodeOutput
-        per audio (reference run/run_inner, decode/mod.rs:284-418)."""
+        per audio (reference run/run_inner, decode/mod.rs:284-418).  The
+        current prompt (set_prompt) applies to every row; delegates to the
+        unified end-aligned batch path."""
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        return self.run_batch(mel, [self._prompt_tokens] * mel.shape[0])
+
+    def run_batch(self, mel, prompts) -> List[DecodeOutput]:
+        """Batched decode with PER-UTTERANCE prompts.
+
+        mel: [n_audio, n_mels, 3000]; prompts: list of per-utterance token
+        sequences (None/empty for unprompted rows).  Prompts are end-aligned
+        into one static prefill bucket with per-row attention masking
+        (prompt.build_batch_prompts), so mixed prompt lengths batch into a
+        single jitted call — the backbone of the data-parallel transcribe
+        driver.
+        """
         mel = jnp.asarray(mel)
         if mel.ndim == 2:
             mel = mel[None]
         n_audio = mel.shape[0]
+        assert len(prompts) == n_audio
 
-        prompt = self._prompt
-        initial = pad_initial_tokens(prompt, n_audio)
-
-        fn = self._window_fn(n_audio, initial.shape[1])
+        tokens, key_start, sample_begin, sot_idx = build_batch_prompts(
+            prompts,
+            self.tokenizer.sequence_sot(),
+            self.tokenizer.token_id_sot,
+            self.tokenizer.token_id_startofprev,
+            self.dims.n_text_ctx,
+        )
+        fn = self._window_fn(n_audio, tokens.shape[1], with_key_start=True)
         result, selected, avg_logprob, lengths = fn(
             self.params,
             mel,
-            jnp.asarray(initial),
-            jnp.int32(prompt.sample_begin),
-            jnp.int32(prompt.sot_idx),
+            jnp.asarray(tokens),
+            jnp.int32(sample_begin),
+            jnp.int32(sot_idx),
+            jnp.asarray(key_start),
         )
+        return self._assemble(result, selected, avg_logprob, lengths,
+                              sample_begin, n_audio)
 
+    def _assemble(self, result, selected, avg_logprob, lengths, sample_begin,
+                  n_audio) -> List[DecodeOutput]:
         candidates = np.asarray(result.candidates)
         selected = np.asarray(selected)
         avg_logprob = np.asarray(avg_logprob)
@@ -180,7 +196,7 @@ class DecodeTask:
         for i in range(n_audio):
             sel = int(selected[i])
             length = int(lengths[i, sel])
-            toks = candidates[i, sel, prompt.sample_begin : prompt.sample_begin + length]
+            toks = candidates[i, sel, sample_begin : sample_begin + length]
             outputs.append(
                 DecodeOutput(
                     tokens=toks,

@@ -226,6 +226,7 @@ def decoder_forward(
     cache: KVCache,
     dims: ModelDims,
     *,
+    key_start: Optional[jnp.ndarray] = None,  # [B] first valid cache slot
     logits_dtype=jnp.float32,
 ) -> tuple:
     """One decoder pass (prefill if T>1, incremental if T==1).
@@ -233,6 +234,12 @@ def decoder_forward(
     Returns (logits [B, T, n_vocab], updated cache).  Token + positional
     embedding sliced at offset (model.rs:503-506); N blocks with self- and
     cross-attention; final LN; logits via tied embedding (model.rs:518-521).
+
+    ``key_start`` supports end-aligned per-row prompts of different lengths
+    (the batched transcribe driver): cache slots below it are masked out of
+    attention, and each row's positional-embedding index is shifted so its
+    first real token sits at position 0 — identical semantics to an
+    unpadded row.
     """
     dec = params["decoder"]
     B, T = tokens.shape
@@ -240,19 +247,26 @@ def decoder_forward(
     d_head = dims.head_dim
     scale = d_head**-0.25
 
-    tok_emb = dec["token_emb"]
-    x = tok_emb[tokens] + lax.dynamic_slice_in_dim(
-        dec["pos_emb"], pos_offset, T, axis=0
-    )
-    x = x.astype(cache.k.dtype)
-
     # absolute positions of the T query tokens and the causal key mask:
     # query at abs pos p sees cache slots <= p (hides unwritten slots too).
     q_pos = pos_offset + jnp.arange(T)  # [T]
     key_idx = jnp.arange(dims.n_text_ctx)  # [n_ctx]
     neg = jnp.asarray(-jnp.inf, dtype=jnp.float32)
-    self_mask = jnp.where(key_idx[None, :] <= q_pos[:, None], 0.0, neg)  # [T, n_ctx]
-    self_mask = self_mask[None, None]  # [1, 1, T, n_ctx]
+    visible = key_idx[None, :] <= q_pos[:, None]  # [T, n_ctx]
+
+    tok_emb = dec["token_emb"]
+    if key_start is not None:
+        # per-row logical positions (clipped to 0 inside the pad region,
+        # whose outputs/K/V are never attended)
+        pos_idx = jnp.maximum(q_pos[None, :] - key_start[:, None], 0)  # [B, T]
+        pos = dec["pos_emb"][pos_idx]  # [B, T, D]
+        visible = visible[None] & (key_idx[None, None, :] >= key_start[:, None, None])
+        self_mask = jnp.where(visible, 0.0, neg)[:, None]  # [B, 1, T, n_ctx]
+    else:
+        pos = lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T, axis=0)
+        self_mask = jnp.where(visible, 0.0, neg)[None, None]  # [1, 1, T, n_ctx]
+
+    x = (tok_emb[tokens] + pos).astype(cache.k.dtype)
 
     def block(carry, layer_in):
         x = carry

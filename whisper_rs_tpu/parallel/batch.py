@@ -1,0 +1,156 @@
+"""Data-parallel batched transcription driver.
+
+The reference transcribes one window at a time on one device
+(transcribe.rs:151-234).  Here N utterances stream through the decoder in
+lockstep: every iteration gathers the next 30s window from each unfinished
+utterance, batches them (padding the batch with repeats to keep shapes
+static), decodes them in ONE jitted call (optionally sharded over a
+('data','model') mesh), and advances each utterance's seek/segment state
+independently — per-utterance prompt conditioning included (per-row prompts
+via DecodeTask.run_batch).
+
+This is the backbone of BASELINE configs #2/#4/#5: batched windows are the
+data-parallel unit, and utterances of different lengths retire from the
+batch as they finish (per-utterance error isolation: one bad utterance
+cannot take down the batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import N_FRAMES, log_mel_spectrogram, pad_or_trim
+from ..config import ModelDims, TranscribeOptions
+from ..decode import DecodeTask
+from ..tokenize import Tokenizer
+from ..transcribe import (
+    QUANTUM,
+    TranscribeOutput,
+    TranscribeSegment,
+    process_window_result,
+)
+
+
+@dataclasses.dataclass
+class _UttState:
+    mel: np.ndarray  # [n_mels, n_frames]
+    seek: int = 0
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    segments: List[TranscribeSegment] = dataclasses.field(default_factory=list)
+    avg_logprobs: List[float] = dataclasses.field(default_factory=list)
+    no_speech_probs: List[float] = dataclasses.field(default_factory=list)
+    error: Optional[Exception] = None
+
+    @property
+    def done(self) -> bool:
+        return self.error is not None or self.seek >= self.mel.shape[-1]
+
+
+class BatchTranscriber:
+    def __init__(
+        self,
+        params,
+        dims: ModelDims,
+        tokenizer: Tokenizer,
+        options: TranscribeOptions = TranscribeOptions(),
+        batch_size: int = 8,
+        compute_dtype=jnp.float32,
+    ):
+        self.dims = dims
+        self.tokenizer = tokenizer
+        self.options = options
+        self.batch_size = batch_size
+        self.decode_task = DecodeTask(
+            params, dims, tokenizer, options.decode, compute_dtype=compute_dtype
+        )
+
+    def run(self, audios: Sequence[np.ndarray]) -> List[TranscribeOutput]:
+        """audios: list of [n_samples] float32 16 kHz arrays."""
+        opts = self.options
+        input_stride = N_FRAMES // self.dims.n_audio_ctx
+        time_precision = input_stride * QUANTUM
+        ts_begin = self.tokenizer.token_id_ts_begin
+
+        if opts.initial_prompt_tokens is not None:
+            init_tokens = list(opts.initial_prompt_tokens)
+            condition = True
+        elif opts.initial_prompt_text is not None:
+            init_tokens = list(self.tokenizer.encode(opts.initial_prompt_text))
+            condition = True
+        else:
+            init_tokens = []
+            condition = opts.condition_on_prev_text
+
+        states = []
+        for audio in audios:
+            mel = np.asarray(
+                log_mel_spectrogram(jnp.asarray(audio), self.dims.n_mels)
+            )
+            states.append(_UttState(mel=mel, tokens=list(init_tokens)))
+
+        while True:
+            active = [i for i, s in enumerate(states) if not s.done]
+            if not active:
+                break
+            chunk = active[: self.batch_size]
+
+            windows = []
+            prompts: List[Optional[List[int]]] = []
+            for i in chunk:
+                s = states[i]
+                windows.append(
+                    np.asarray(pad_or_trim(jnp.asarray(s.mel[:, s.seek :]), N_FRAMES))
+                )
+                prompts.append(s.tokens if condition else None)
+
+            # pad the batch with repeats to the static batch size
+            n_real = len(windows)
+            while len(windows) < min(self.batch_size, max(n_real, 1)):
+                windows.append(windows[-1])
+                prompts.append(prompts[-1])
+
+            try:
+                results = self.decode_task.run_batch(
+                    np.stack(windows, axis=0), prompts
+                )
+            except Exception as e:  # batch-level failure: isolate per utterance
+                for i in chunk:
+                    states[i].error = e
+                continue
+
+            for j, i in enumerate(chunk):
+                s = states[i]
+                r = results[j]
+                s.avg_logprobs.append(r.avg_logprob)
+                s.no_speech_probs.append(r.no_speech_prob)
+                s.seek = process_window_result(
+                    s.tokens,
+                    s.segments,
+                    np.asarray(r.tokens, np.int64),
+                    r.text,
+                    s.seek,
+                    ts_begin,
+                    input_stride,
+                    time_precision,
+                    self.tokenizer.decode,
+                )
+
+        outputs = []
+        for s in states:
+            if s.error is not None:
+                raise s.error
+            arr = np.asarray(s.tokens, np.int64)
+            outputs.append(
+                TranscribeOutput(
+                    tokens=arr,
+                    text=self.tokenizer.decode(arr),
+                    segments=s.segments,
+                    avg_logprobs=s.avg_logprobs,
+                    no_speech_probs=s.no_speech_probs,
+                )
+            )
+        return outputs

@@ -62,6 +62,71 @@ class TranscribeOutput:
     no_speech_probs: List[float] = dataclasses.field(default_factory=list)
 
 
+def process_window_result(
+    tokens: List[int],
+    segments: List[TranscribeSegment],
+    segment_tokens: np.ndarray,
+    result_text: str,
+    seek: int,
+    ts_begin: int,
+    input_stride: int,
+    time_precision: float,
+    decode_fn,
+) -> int:
+    """Apply one decoded window to the running transcription state.
+
+    Implements both segmentation branches (transcribe.rs:167-233) and
+    returns the new seek.  Mutates ``tokens`` and ``segments``.
+    ``decode_fn``: token-ids -> text (for per-segment text).
+    """
+    ts_offset = seek * QUANTUM
+    is_ts = segment_tokens >= ts_begin
+    consecutive = np.nonzero(is_ts[:-1] & is_ts[1:])[0] + 1
+    token_offset = len(tokens)
+
+    if consecutive.size > 0:
+        last_slice = 0
+        for current_slice in consecutive:
+            sliced = segment_tokens[last_slice:current_slice]
+            start_ts = int(sliced[0]) - ts_begin
+            end_ts = int(sliced[-1]) - ts_begin
+            segments.append(
+                TranscribeSegment(
+                    seek=seek,
+                    start_time=ts_offset + start_ts * time_precision,
+                    end_time=ts_offset + end_ts * time_precision,
+                    start_token=token_offset + last_slice + 1,
+                    end_token=token_offset + int(current_slice),
+                    text=decode_fn(sliced),
+                )
+            )
+            last_slice = int(current_slice)
+
+        last_ts = int(segment_tokens[last_slice - 1]) - ts_begin
+        seek += last_ts * input_stride
+        tokens.extend(int(t) for t in segment_tokens[: last_slice + 1])
+    else:
+        segment_duration = 30.0
+        ts_positions = segment_tokens[is_ts]
+        if ts_positions.size > 0 and int(ts_positions[-1]) != ts_begin:
+            # lone trailing timestamp: trim duration to it
+            segment_duration = (int(ts_positions[-1]) - ts_begin) * time_precision
+
+        segments.append(
+            TranscribeSegment(
+                seek=seek,
+                start_time=ts_offset,
+                end_time=ts_offset + segment_duration,
+                start_token=token_offset,
+                end_token=token_offset + len(segment_tokens),
+                text=result_text,
+            )
+        )
+        seek += N_FRAMES
+        tokens.extend(int(t) for t in segment_tokens)
+    return seek
+
+
 class TranscribeTask:
     def __init__(
         self,
@@ -110,7 +175,6 @@ class TranscribeTask:
         seek = 0
         while seek < n_frames:
             window = pad_or_trim(mel[:, seek:], N_FRAMES)
-            segment_duration = 30.0
 
             if condition:
                 self.decode_task.set_prompt(tokens)
@@ -120,53 +184,17 @@ class TranscribeTask:
             avg_logprobs.append(result.avg_logprob)
             no_speech_probs.append(result.no_speech_prob)
 
-            ts_offset = seek * QUANTUM
-            is_ts = segment_tokens >= ts_begin
-            # indices i+1 where both i and i+1 are timestamps
-            consecutive = np.nonzero(is_ts[:-1] & is_ts[1:])[0] + 1
-            token_offset = len(tokens)
-
-            if consecutive.size > 0:
-                last_slice = 0
-                for current_slice in consecutive:
-                    sliced = segment_tokens[last_slice:current_slice]
-                    start_ts = int(sliced[0]) - ts_begin
-                    end_ts = int(sliced[-1]) - ts_begin
-                    segments.append(
-                        TranscribeSegment(
-                            seek=seek,
-                            start_time=ts_offset + start_ts * time_precision,
-                            end_time=ts_offset + end_ts * time_precision,
-                            start_token=token_offset + last_slice + 1,
-                            end_token=token_offset + int(current_slice),
-                            text=self.tokenizer.decode(sliced),
-                        )
-                    )
-                    last_slice = int(current_slice)
-
-                last_ts = int(segment_tokens[last_slice - 1]) - ts_begin
-                seek += last_ts * input_stride
-                tokens.extend(int(t) for t in segment_tokens[: last_slice + 1])
-            else:
-                ts_positions = segment_tokens[is_ts]
-                if ts_positions.size > 0 and int(ts_positions[-1]) != ts_begin:
-                    # lone trailing timestamp: trim duration to it
-                    segment_duration = (
-                        int(ts_positions[-1]) - ts_begin
-                    ) * time_precision
-
-                segments.append(
-                    TranscribeSegment(
-                        seek=seek,
-                        start_time=ts_offset,
-                        end_time=ts_offset + segment_duration,
-                        start_token=token_offset,
-                        end_token=token_offset + len(segment_tokens),
-                        text=result.text,
-                    )
-                )
-                seek += N_FRAMES
-                tokens.extend(int(t) for t in segment_tokens)
+            seek = process_window_result(
+                tokens,
+                segments,
+                segment_tokens,
+                result.text,
+                seek,
+                ts_begin,
+                input_stride,
+                time_precision,
+                self.tokenizer.decode,
+            )
 
         tokens_arr = np.asarray(tokens, np.int64)
         return TranscribeOutput(
