@@ -1,0 +1,95 @@
+"""Temperature sampling / best-of-N (reference left unimplemented,
+greedy.rs:27-29), no-speech skip (reference TODO, transcribe.rs:165), and
+checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_rs_tpu.config import (
+    DecodeOptions,
+    GreedyMode,
+    ModelDims,
+    TranscribeOptions,
+)
+from whisper_rs_tpu.decode import FilterConfig, decode_greedy
+from whisper_rs_tpu.models import init_params
+from whisper_rs_tpu.models.checkpoint import load_params, save_params
+from whisper_rs_tpu.transcribe import should_skip_no_speech
+
+DIMS = ModelDims(80, 1000, 1500, 64, 4, 2, 448, 64, 4, 2)
+CFG = FilterConfig(
+    n_vocab=1000,
+    token_id_eot=500,
+    token_id_space=7,
+    token_id_ts_begin=600,
+    token_id_no_timestamps=599,
+)
+
+
+def _decode(params, mel, mode, rng_key=None):
+    initial = np.asarray([[501]] * mel.shape[0], np.int32)
+    return decode_greedy(
+        params,
+        jnp.asarray(mel),
+        jnp.asarray(initial),
+        jnp.int32(1),
+        jnp.int32(0),
+        DIMS,
+        CFG,
+        mode,
+        8,
+        no_speech_id=502,
+        rng_key=rng_key,
+    )
+
+
+def test_temperature_sampling_best_of_n():
+    params = init_params(jax.random.PRNGKey(5), DIMS)
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3
+
+    mode = GreedyMode(group_size=3, temperature=0.8)
+    res = _decode(params, mel, mode, rng_key=jax.random.PRNGKey(7))
+    assert res.candidates.shape == (2, 3, 448)
+    assert res.scores.shape == (2, 3)
+    # sampled candidates within a group differ (overwhelmingly likely)
+    c = np.asarray(res.candidates)
+    assert not (
+        np.array_equal(c[0, 0], c[0, 1]) and np.array_equal(c[0, 1], c[0, 2])
+    )
+    # every candidate EOT-terminated by finalize
+    for i in range(2):
+        for g in range(3):
+            assert 500 in list(c[i, g])
+
+    # deterministic given the same key
+    res2 = _decode(params, mel, mode, rng_key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(c, np.asarray(res2.candidates))
+
+    # temperature 0 == plain greedy, group collapses to identical rows
+    res0 = _decode(params, mel, GreedyMode(group_size=2, temperature=0.0))
+    c0 = np.asarray(res0.candidates)
+    np.testing.assert_array_equal(c0[:, 0], c0[:, 1])
+
+
+def test_no_speech_skip_rule():
+    opts = TranscribeOptions(no_speech_threshold=0.6, logprob_threshold=-1.0)
+    assert should_skip_no_speech(opts, 0.9, -2.0)
+    assert not should_skip_no_speech(opts, 0.9, -0.5)  # confident decode
+    assert not should_skip_no_speech(opts, 0.3, -2.0)  # speech likely
+    # default: reference behavior (never skip)
+    assert not should_skip_no_speech(TranscribeOptions(), 0.99, -9.0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = init_params(jax.random.PRNGKey(1), DIMS)
+    p = tmp_path / "ckpt.npz"
+    save_params(str(p), params, DIMS)
+    loaded, dims = load_params(str(p))
+    assert dims == DIMS
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        loaded,
+    )

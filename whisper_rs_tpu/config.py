@@ -142,3 +142,10 @@ class TranscribeOptions:
     initial_prompt_tokens: Optional[Tuple[int, ...]] = None
     initial_prompt_text: Optional[str] = None
     condition_on_prev_text: bool = True
+    # No-speech window skipping: the reference computes no_speech_prob but
+    # leaves the skip as a TODO (transcribe.rs:165).  When set, a window
+    # with no_speech_prob > no_speech_threshold AND avg_logprob <
+    # logprob_threshold is treated as silence (OpenAI semantics).  Default
+    # None = reference behavior (never skip).
+    no_speech_threshold: Optional[float] = None
+    logprob_threshold: float = -1.0

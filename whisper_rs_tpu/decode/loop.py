@@ -159,11 +159,18 @@ class _GreedyState(NamedTuple):
     cache: KVCache
 
 
-def _greedy_update(logits, tokens, pos, sum_logprobs, finished, eot):
-    """Greedy extractor semantics (greedy.rs:22-53 / OpenAI GreedyDecoder):
-    argmax next token; accumulate logprob only for still-live rows; pin
-    finished rows to EOT."""
-    next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def _greedy_update(logits, tokens, pos, sum_logprobs, finished, eot,
+                   temperature=0.0, rng=None):
+    """Greedy/sampling extractor semantics (greedy.rs:22-53 / OpenAI
+    GreedyDecoder): argmax (or temperature-sample — the reference left this
+    ``unimplemented!``, greedy.rs:27-29) next token; accumulate logprob only
+    for still-live rows; pin finished rows to EOT."""
+    if temperature and temperature > 0.0:
+        next_tok = jax.random.categorical(
+            rng, logits / temperature, axis=-1
+        ).astype(jnp.int32)
+    else:
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logprobs = _log_softmax(logits)
     cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=1)[:, 0]
     sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, cur_lp)
@@ -188,20 +195,32 @@ def decode_greedy(
     no_speech_id: int,
     compute_dtype=jnp.float32,
     key_start=None,
+    rng_key=None,
 ) -> DecodeResult:
     eot = cfg.token_id_eot
     n_ctx = dims.n_text_ctx
+    group = mode.group_size
+    temperature = mode.temperature
+    if temperature > 0.0 and rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
 
     (tokens, first_logits, cache, cross_kv, no_speech, feats, key_start) = _encode_and_prefill(
-        params, mel, initial_tokens, sample_begin, sot_idx, 1, dims, cfg,
+        params, mel, initial_tokens, sample_begin, sot_idx, group, dims, cfg,
         no_speech_id, compute_dtype, key_start,
     )
     B = tokens.shape[0]
+    n_audio = B // group
+
+    def step_rng(pos):
+        if temperature > 0.0:
+            return jax.random.fold_in(rng_key, pos)
+        return None
 
     sum_lp = jnp.zeros((B,), jnp.float32)
     finished = jnp.zeros((B,), bool)
     tokens, sum_lp, finished = _greedy_update(
-        first_logits, tokens, sample_begin, sum_lp, finished, eot
+        first_logits, tokens, sample_begin, sum_lp, finished, eot,
+        temperature, step_rng(sample_begin),
     )
 
     init = _GreedyState(
@@ -224,7 +243,8 @@ def decode_greedy(
             key_start,
         )
         tokens, sum_lp, finished = _greedy_update(
-            logits, s.tokens, s.pos, s.sum_logprobs, s.finished, eot
+            logits, s.tokens, s.pos, s.sum_logprobs, s.finished, eot,
+            temperature, step_rng(s.pos),
         )
         return _GreedyState(s.step + 1, s.pos + 1, tokens, sum_lp, finished, cache)
 
@@ -242,9 +262,12 @@ def decode_greedy(
     )
     tokens = lax.dynamic_update_slice(s.tokens, eot_col, (0, write_pos))
 
+    # group_size > 1 (best-of-N sampling): candidates per audio, ranked by
+    # the shared max-likelihood ranker downstream (decode/mod.rs:336-347
+    # de-interleave semantics)
     return DecodeResult(
-        candidates=tokens[:, None, :],
-        scores=s.sum_logprobs[:, None],
+        candidates=tokens.reshape(n_audio, group, n_ctx),
+        scores=s.sum_logprobs.reshape(n_audio, group),
         no_speech_probs=no_speech,
         audio_features=feats,
     )
@@ -374,6 +397,7 @@ def decode_beam(
     no_speech_id: int,
     compute_dtype=jnp.float32,
     key_start=None,
+    rng_key=None,  # unused (beam search is deterministic); signature parity
 ) -> DecodeResult:
     beam = mode.beam_size
     # max finished candidates per audio (beam_search.rs:122-124)

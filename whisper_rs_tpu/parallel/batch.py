@@ -32,6 +32,7 @@ from ..transcribe import (
     TranscribeOutput,
     TranscribeSegment,
     process_window_result,
+    should_skip_no_speech,
 )
 
 
@@ -127,6 +128,9 @@ class BatchTranscriber:
                 r = results[j]
                 s.avg_logprobs.append(r.avg_logprob)
                 s.no_speech_probs.append(r.no_speech_prob)
+                if should_skip_no_speech(opts, r.no_speech_prob, r.avg_logprob):
+                    s.seek += N_FRAMES
+                    continue
                 s.seek = process_window_result(
                     s.tokens,
                     s.segments,

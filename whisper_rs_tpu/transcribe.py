@@ -62,6 +62,19 @@ class TranscribeOutput:
     no_speech_probs: List[float] = dataclasses.field(default_factory=list)
 
 
+def should_skip_no_speech(
+    opts: TranscribeOptions, no_speech_prob: float, avg_logprob: float
+) -> bool:
+    """No-speech window skip (closes the reference TODO at transcribe.rs:165;
+    OpenAI semantics: silence only when the no-speech signal is strong AND
+    the decode is low-confidence)."""
+    return (
+        opts.no_speech_threshold is not None
+        and no_speech_prob > opts.no_speech_threshold
+        and avg_logprob < opts.logprob_threshold
+    )
+
+
 def process_window_result(
     tokens: List[int],
     segments: List[TranscribeSegment],
@@ -183,6 +196,12 @@ class TranscribeTask:
             segment_tokens = np.asarray(result.tokens, np.int64)
             avg_logprobs.append(result.avg_logprob)
             no_speech_probs.append(result.no_speech_prob)
+
+            if should_skip_no_speech(
+                opts, result.no_speech_prob, result.avg_logprob
+            ):
+                seek += N_FRAMES
+                continue
 
             seek = process_window_result(
                 tokens,
