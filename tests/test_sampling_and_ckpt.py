@@ -93,3 +93,23 @@ def test_checkpoint_roundtrip(tmp_path):
         params,
         loaded,
     )
+
+
+def test_detect_language_shapes():
+    from whisper_rs_tpu.decode.language import detect_language
+
+    class MiniTok:
+        token_id_sot = 501
+
+    params = init_params(jax.random.PRNGKey(3), DIMS)
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3
+    # vocab 1000 < 501+1+99=601 fits
+    out = detect_language(params, mel, DIMS, MiniTok())
+    assert len(out) == 2
+    for probs in out:
+        assert len(probs) == 99
+        np.testing.assert_allclose(sum(probs.values()), 1.0, rtol=1e-4)
+        # sorted most-likely first
+        vals = list(probs.values())
+        assert vals == sorted(vals, reverse=True)
