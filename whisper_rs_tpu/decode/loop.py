@@ -86,9 +86,11 @@ def _encode_and_prefill(
     xa = encoder_forward(params, mel.astype(compute_dtype), dims)
     audio_features = xa
 
-    # repeat_interleave along batch for beam/group
+    # repeat_interleave along batch for beam/group (decode/mod.rs:307-313).
+    # Cross-K/V is NOT repeated: group members share one per-audio copy
+    # (whisper._attend_grouped) — repeating would multiply HBM footprint and
+    # per-step read traffic by group_size.
     if group_size > 1:
-        xa = jnp.repeat(xa, group_size, axis=0)
         initial_tokens = jnp.repeat(initial_tokens, group_size, axis=0)
         if key_start is not None:
             key_start = jnp.repeat(key_start, group_size, axis=0)
@@ -97,27 +99,21 @@ def _encode_and_prefill(
     cross_kv = precompute_cross_kv(params, xa, dims)
     cache = KVCache.init(dims, B, dtype=xa.dtype)
 
+    # only two prefill rows ever have their logits read: the SOT row (for
+    # no_speech_prob, decode/mod.rs:250-255) and the last prompt row (the
+    # first sampled position) — skip the vocab projection for the rest.
+    positions = jnp.stack([sot_idx, sample_begin - 1]).astype(jnp.int32)
     logits, cache = decoder_forward(
         params, initial_tokens, jnp.int32(0), cross_kv, cache, dims,
-        key_start=key_start,
-    )  # [B, P, V] f32
+        key_start=key_start, logit_positions=positions, cross_group=group_size,
+    )  # [B, 2, V] f32
 
-    # no_speech_prob: softmax at the SOT position on the first pass
-    # (decode/mod.rs:250-255)
-    sot_logits = jnp.take_along_axis(
-        logits, sot_idx[None, None, None].astype(jnp.int32).repeat(B, 0), axis=1
-    )[:, 0]
-    no_speech = jax.nn.softmax(sot_logits.astype(jnp.float32), axis=-1)[
+    no_speech = jax.nn.softmax(logits[:, 0].astype(jnp.float32), axis=-1)[
         :, no_speech_id
     ]
     no_speech_probs = no_speech[::group_size]  # de-interleave (mod.rs:336-338)
 
-    # logits for the first sampled position = row sample_begin-1
-    last = jnp.take_along_axis(
-        logits,
-        (sample_begin - 1)[None, None, None].astype(jnp.int32).repeat(B, 0),
-        axis=1,
-    )[:, 0].astype(jnp.float32)
+    last = logits[:, 1].astype(jnp.float32)
 
     # token buffer [B, n_ctx]: prompt then zeros
     tokens = jnp.zeros((B, dims.n_text_ctx), jnp.int32)
@@ -128,7 +124,8 @@ def _encode_and_prefill(
 
 
 def _step_logits(
-    params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin, key_start=None
+    params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin,
+    key_start=None, cross_group: int = 1,
 ):
     """One incremental decoder step: feed the token at pos-1, return
     filtered logits for position pos and the updated cache."""
@@ -137,7 +134,8 @@ def _step_logits(
         tokens, (pos - 1)[None, None].astype(jnp.int32).repeat(B, 0), axis=1
     )  # [B, 1]
     logits, cache = decoder_forward(
-        params, tok_in, pos - 1, cross_kv, cache, dims, key_start=key_start
+        params, tok_in, pos - 1, cross_kv, cache, dims, key_start=key_start,
+        cross_group=cross_group,
     )
     filtered = apply_filters(
         cfg, logits[:, 0].astype(jnp.float32), tokens, pos, sample_begin
@@ -240,7 +238,7 @@ def decode_greedy(
     def body(s: _GreedyState):
         logits, cache = _step_logits(
             params, s.tokens, s.pos, cross_kv, s.cache, dims, cfg, sample_begin,
-            key_start,
+            key_start, group,
         )
         tokens, sum_lp, finished = _greedy_update(
             logits, s.tokens, s.pos, s.sum_logprobs, s.finished, eot,
@@ -438,7 +436,7 @@ def decode_beam(
     def body(st: _BeamState):
         logits, cache = _step_logits(
             params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg, sample_begin,
-            key_start,
+            key_start, beam,
         )
         st = st._replace(cache=cache)
         return _beam_step(logits, st, beam, cap, eot)

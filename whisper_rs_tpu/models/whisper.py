@@ -90,7 +90,7 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 def _attend(
     q: jnp.ndarray,  # [B, H, Tq, dh], already scaled
-    k: jnp.ndarray,  # [B, H, Tk, dh], already scaled
+    k: jnp.ndarray,  # [B, H, Tk, dh]
     v: jnp.ndarray,  # [B, H, Tk, dh]
     mask: Optional[jnp.ndarray],  # broadcastable to [B, H, Tq, Tk], additive
 ) -> jnp.ndarray:
@@ -101,12 +101,39 @@ def _attend(
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
+def _attend_grouped(
+    q: jnp.ndarray,  # [A*G, H, Tq, dh], already scaled
+    k: jnp.ndarray,  # [A, H, Tk, dh] — shared by the G group members
+    v: jnp.ndarray,  # [A, H, Tk, dh]
+    group: int,
+) -> jnp.ndarray:
+    """Cross-attention where G beams/samples per audio share one K/V.
+
+    Beam search repeats each utterance group_size times along batch
+    (decode/mod.rs:307-313); replicating the 1500-frame encoder K/V with it
+    would multiply both HBM footprint and per-step read traffic by G, so the
+    K/V stays per-audio and the einsum carries the group axis."""
+    AG, H, Tq, dh = q.shape
+    A = k.shape[0]
+    qg = q.reshape(A, AG // A, H, Tq, dh)
+    qk = jnp.einsum("aghqd,ahkd->aghqk", qg, k, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("aghqk,ahkd->aghqd", w, v)
+    return out.reshape(AG, H, Tq, dh)
+
+
 def mha_self(x_ln: jnp.ndarray, p: dict, n_head: int, mask) -> jnp.ndarray:
-    """Full (non-cached) self-attention — encoder path (model.rs:158-206)."""
+    """Full (non-cached) self-attention — encoder path (model.rs:158-206).
+
+    The reference scales q AND k by head_dim**-0.25 each (model.rs:169-182);
+    we fold both into q (s^2 = head_dim**-0.5) so K is never rewritten —
+    the qk product is identical up to f32 rounding, and in the decode path
+    this avoids materializing a scaled copy of the whole K cache per step.
+    """
     d_head = x_ln.shape[-1] // n_head
-    scale = d_head**-0.25
+    scale = d_head**-0.5
     q = _split_heads(linear(x_ln, p["query"]), n_head) * scale
-    k = _split_heads(linear(x_ln, p["key"]), n_head) * scale
+    k = _split_heads(linear(x_ln, p["key"]), n_head)
     v = _split_heads(linear(x_ln, p["value"]), n_head)
     return linear(_merge_heads(_attend(q, k, v, mask)), p["out"])
 
@@ -227,13 +254,19 @@ def decoder_forward(
     dims: ModelDims,
     *,
     key_start: Optional[jnp.ndarray] = None,  # [B] first valid cache slot
+    logit_positions: Optional[jnp.ndarray] = None,  # [K] rows of T to project
+    cross_group: int = 1,  # beams/samples per audio sharing one cross-K/V
     logits_dtype=jnp.float32,
 ) -> tuple:
     """One decoder pass (prefill if T>1, incremental if T==1).
 
-    Returns (logits [B, T, n_vocab], updated cache).  Token + positional
-    embedding sliced at offset (model.rs:503-506); N blocks with self- and
-    cross-attention; final LN; logits via tied embedding (model.rs:518-521).
+    Returns (logits [B, T, n_vocab] — or [B, K, n_vocab] when
+    ``logit_positions`` selects K rows — and the updated cache).  Token +
+    positional embedding sliced at offset (model.rs:503-506); N blocks with
+    self- and cross-attention; final LN; logits via tied embedding
+    (model.rs:518-521).  ``logit_positions`` skips the vocab projection for
+    prefill rows whose logits are never read (only the SOT row and the last
+    prompt row matter), saving a [P, n_vocab] matmul per window.
 
     ``key_start`` supports end-aligned per-row prompts of different lengths
     (the batched transcribe driver): cache slots below it are masked out of
@@ -245,7 +278,7 @@ def decoder_forward(
     B, T = tokens.shape
     n_head = dims.n_text_head
     d_head = dims.head_dim
-    scale = d_head**-0.25
+    scale = d_head**-0.5  # folded q·k scale (see mha_self docstring)
 
     # absolute positions of the T query tokens and the causal key mask:
     # query at abs pos p sees cache slots <= p (hides unwritten slots too).
@@ -268,37 +301,64 @@ def decoder_forward(
 
     x = (tok_emb[tokens] + pos).astype(cache.k.dtype)
 
+    # The full stacked cache rides the scan CARRY (not ys): ys would
+    # materialize a fresh [L, B, H, n_ctx, dh] copy every decode step, while
+    # a carry is buffer-aliased by XLA so each step writes only the one
+    # [B, H, T, dh] slot that changed.  Per-layer weights and cross-K/V
+    # stream through xs as before.
+    n_ctx = dims.n_text_ctx
+
     def block(carry, layer_in):
-        x = carry
-        bp, ck, cv, cache_k, cache_v = layer_in
+        x, k_all, v_all = carry
+        bp, ck, cv, l = layer_in
 
         # -- self-attention over the static cache --------------------------
         h = layer_norm(x, bp["attn_ln"])
         q = _split_heads(linear(h, bp["attn"]["query"]), n_head) * scale
         k_new = _split_heads(linear(h, bp["attn"]["key"]), n_head)
         v_new = _split_heads(linear(h, bp["attn"]["value"]), n_head)
-        cache_k = lax.dynamic_update_slice(
-            cache_k, k_new, (0, 0, pos_offset, 0)
-        )  # [B, H, n_ctx, dh]
-        cache_v = lax.dynamic_update_slice(cache_v, v_new, (0, 0, pos_offset, 0))
-        attn = _attend(q, cache_k * scale, cache_v, self_mask)
+        k_all = lax.dynamic_update_slice(
+            k_all, k_new[None], (l, 0, 0, pos_offset, 0)
+        )  # [L, B, H, n_ctx, dh]
+        v_all = lax.dynamic_update_slice(v_all, v_new[None], (l, 0, 0, pos_offset, 0))
+        cache_k = lax.dynamic_slice(
+            k_all, (l, 0, 0, 0, 0), (1, B, n_head, n_ctx, d_head)
+        )[0]
+        cache_v = lax.dynamic_slice(
+            v_all, (l, 0, 0, 0, 0), (1, B, n_head, n_ctx, d_head)
+        )[0]
+        attn = _attend(q, cache_k, cache_v, self_mask)
         x = x + linear(_merge_heads(attn), bp["attn"]["out"])
 
         # -- cross-attention against precomputed encoder K/V ---------------
         h = layer_norm(x, bp["cross_attn_ln"])
         qx = _split_heads(linear(h, bp["cross_attn"]["query"]), n_head) * scale
-        attn = _attend(qx, ck.astype(x.dtype) * scale, cv.astype(x.dtype), None)
+        if cross_group > 1:
+            attn = _attend_grouped(
+                qx, ck.astype(x.dtype), cv.astype(x.dtype), cross_group
+            )
+        else:
+            attn = _attend(qx, ck.astype(x.dtype), cv.astype(x.dtype), None)
         x = x + linear(_merge_heads(attn), bp["cross_attn"]["out"])
 
         # -- MLP ------------------------------------------------------------
         h = layer_norm(x, bp["mlp_ln"])
         x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
-        return x, (cache_k, cache_v)
+        return (x, k_all, v_all), None
 
-    x, (new_k, new_v) = lax.scan(
-        block, x, (dec["blocks"], cross_kv.k, cross_kv.v, cache.k, cache.v)
+    (x, new_k, new_v), _ = lax.scan(
+        block,
+        (x, cache.k, cache.v),
+        (
+            dec["blocks"],
+            cross_kv.k,
+            cross_kv.v,
+            jnp.arange(dims.n_text_layer),
+        ),
     )
 
+    if logit_positions is not None:
+        x = jnp.take(x, logit_positions, axis=1)
     x = layer_norm(x, dec["ln"])
     logits = jnp.einsum(
         "btd,vd->btv",
