@@ -11,6 +11,7 @@ numbers at all (BASELINE.md), so real-time rate is the meaningful anchor.
 
 Env knobs:
   BENCH_MODEL  (default base.en)   BENCH_BATCH (default 8)
+  BENCH_MODE   greedy|beam (default greedy)   BENCH_BEAM (default 5)
   BENCH_STEPS  decode steps (default: full sample_len 224)
   BENCH_ITERS  timed iterations (default 3)
 """
@@ -29,8 +30,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
-    from whisper_rs_tpu.config import GreedyMode, dims_for
-    from whisper_rs_tpu.decode import FilterConfig, decode_greedy
+    from whisper_rs_tpu.config import BeamSearchMode, GreedyMode, dims_for
+    from whisper_rs_tpu.decode import FilterConfig, decode_beam, decode_greedy
     from whisper_rs_tpu.models import init_params
     from whisper_rs_tpu.ops.mel_pallas import log_mel_frontend
 
@@ -59,10 +60,20 @@ def main():
     audio = rng.standard_normal((batch, 480_000)).astype(np.float32) * 0.1
     initial = np.asarray([[50257]] * batch, np.int32)
 
+    bench_mode = os.environ.get("BENCH_MODE", "greedy")
+    if bench_mode == "beam":
+        mode = BeamSearchMode(
+            beam_size=int(os.environ.get("BENCH_BEAM", "5")), patience=1.0
+        )
+        decode_fn = decode_beam
+    else:
+        mode = GreedyMode()
+        decode_fn = decode_greedy
+
     @jax.jit
     def pipeline(params, audio, initial_tokens):
         mel = log_mel_frontend(audio, dims.n_mels, dtype=dtype)
-        return decode_greedy(
+        return decode_fn(
             params,
             mel,
             initial_tokens,
@@ -70,7 +81,7 @@ def main():
             jnp.int32(0),
             dims,
             cfg,
-            GreedyMode(),
+            mode,
             steps,
             no_speech_id=50361,
             compute_dtype=dtype,

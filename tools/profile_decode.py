@@ -23,14 +23,19 @@ from whisper_rs_tpu.models import (
 )
 
 
+def _sync(x):
+    """Force a real device->host sync (block_until_ready can return early on
+    remote-tunnel runtimes); reduce to a scalar first."""
+    return float(jax.tree.reduce(lambda a, b: a + b, jax.tree.map(lambda v: jnp.sum(v.astype(jnp.float32)), x)))
+
+
 def timeit(fn, args_list, n=3):
-    fn(*args_list[0])  # compile
-    jax.block_until_ready(fn(*args_list[0]))
+    _sync(fn(*args_list[0]))  # compile + warm
     ts = []
     for i in range(n):
-        a = args_list[i % len(args_list)]
+        a = args_list[(i + 1) % len(args_list)]  # avoid repeating warm input
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*a))
+        _sync(fn(*a))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -47,7 +52,7 @@ def main():
         jnp.asarray(
             (rng.standard_normal((B, dims.n_mels, 3000)) * 0.3).astype(np.float32)
         ).astype(dtype)
-        for _ in range(3)
+        for _ in range(4)
     ]
     for m in mels:
         m.block_until_ready()
