@@ -1,0 +1,98 @@
+"""Full-stack end-to-end CLI test: synthetic OpenAI-format checkpoint with
+the REAL gpt2 vocab size + tiny layers, a generated wav, and the actual CLI
+entry point — exercises audio ingest, mel, model load/convert, decode,
+tokenizer, segmentation, and output formatting in one run."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path("/root/reference/tokenizer/gpt2.json").exists(),
+    reason="gpt2.json fixture unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    from torch_oracle import make_random_state_dict
+
+    from whisper_rs_tpu.config import ModelDims
+
+    dims = ModelDims(
+        n_mels=80,
+        n_vocab=51864,  # real en vocab so the real tokenizer applies
+        n_audio_ctx=1500,
+        n_audio_state=64,
+        n_audio_head=4,
+        n_audio_layer=2,
+        n_text_ctx=448,
+        n_text_state=64,
+        n_text_head=4,
+        n_text_layer=2,
+    )
+    sd = make_random_state_dict(dims, seed=0)
+    path = tmp_path_factory.mktemp("ckpt") / "tiny_test.pt"
+    torch.save(
+        {
+            "dims": {
+                "n_mels": dims.n_mels,
+                "n_vocab": dims.n_vocab,
+                "n_audio_ctx": dims.n_audio_ctx,
+                "n_audio_state": dims.n_audio_state,
+                "n_audio_head": dims.n_audio_head,
+                "n_audio_layer": dims.n_audio_layer,
+                "n_text_ctx": dims.n_text_ctx,
+                "n_text_state": dims.n_text_state,
+                "n_text_head": dims.n_text_head,
+                "n_text_layer": dims.n_text_layer,
+            },
+            "model_state_dict": sd,
+        },
+        str(path),
+    )
+    return str(path)
+
+
+def test_cli_transcribe_json(checkpoint, tmp_path, capsys):
+    from whisper_rs_tpu.audio.io import write_wav
+    from whisper_rs_tpu.cli import main
+
+    rng = np.random.default_rng(0)
+    wav = tmp_path / "t.wav"
+    write_wav(wav, (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32))
+
+    rc = main(
+        [
+            str(wav),
+            "--checkpoint",
+            checkpoint,
+            "--greedy",
+            "--sample-len",
+            "8",
+            "--dtype",
+            "float32",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(out)
+    assert payload["file"] == str(wav)
+    assert "text" in payload
+    assert isinstance(payload["segments"], list) and payload["segments"]
+    seg = payload["segments"][0]
+    assert set(seg) == {"start", "end", "text"}
+
+
+def test_cli_missing_audio(checkpoint, capsys):
+    from whisper_rs_tpu.cli import main
+
+    rc = main(
+        ["/nonexistent.wav", "--checkpoint", checkpoint, "--greedy",
+         "--sample-len", "4", "--dtype", "float32"]
+    )
+    assert rc == 1

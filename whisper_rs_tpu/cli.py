@@ -25,6 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--language", default="en")
     p.add_argument("--task", default="transcribe", choices=["transcribe", "translate"])
     p.add_argument("--greedy", action="store_true", help="greedy decode instead of beam")
+    p.add_argument("--sample-len", type=int, default=None, help="max tokens per window")
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--patience", type=float, default=1.0)
     p.add_argument("--length-penalty", type=float, default=None)
@@ -76,6 +77,7 @@ def main(argv=None) -> int:
     options = TranscribeOptions(
         decode=DecodeOptions(
             mode=mode,
+            sample_len=args.sample_len,
             length_penalty=args.length_penalty,
             max_initial_timestamp=args.max_initial_timestamp,
             timestamps=not args.no_timestamps,

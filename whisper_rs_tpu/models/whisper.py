@@ -156,6 +156,28 @@ def _conv1d(x: jnp.ndarray, p: dict, stride: int) -> jnp.ndarray:
     return y + p["b"].astype(x.dtype)[None, :, None]
 
 
+def _conv1d_mm(x_nlc: jnp.ndarray, p: dict, stride: int) -> jnp.ndarray:
+    """k=3/pad=1 conv1d expressed as three shifted matmuls (MXU path).
+
+    x_nlc: [B, T, C_in]; weight [C_out, C_in, 3] -> y [B, T//stride, C_out].
+    Feature-last layout + explicit matmuls sidestep slow TPU conv lowerings
+    for this thin-channel stem; each tap j contributes
+    ``shift(x, j-1) @ W[:, :, j].T``.
+    """
+    w = p["w"].astype(x_nlc.dtype)  # [C_out, C_in, 3]
+    B, T, Cin = x_nlc.shape
+    xp = jnp.pad(x_nlc, ((0, 0), (1, 1), (0, 0)))  # [B, T+2, C]
+    T_out = T // stride
+    y = None
+    for j in range(3):
+        xj = lax.slice_in_dim(xp, j, j + T, axis=1)  # shift by j-1
+        if stride > 1:
+            xj = xj[:, ::stride]
+        part = xj[:, :T_out] @ w[:, :, j].T  # [B, T_out, C_out]
+        y = part if y is None else y + part
+    return y + p["b"].astype(x_nlc.dtype)
+
+
 def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndarray:
     """[B, n_mels, 3000] log-mel -> [B, 1500, n_state] audio features.
 
@@ -163,9 +185,10 @@ def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndar
     blocks, post-LN (model.rs:417-441).
     """
     enc = params["encoder"]
-    x = gelu(_conv1d(mel, enc["conv1"], stride=1))
-    x = gelu(_conv1d(x, enc["conv2"], stride=2))
-    x = x.transpose(0, 2, 1)  # [B, 1500, D]
+    # feature-last layout + conv-as-matmul stem (MXU path; see _conv1d_mm)
+    x = mel.transpose(0, 2, 1)  # [B, 3000, n_mels]
+    x = gelu(_conv1d_mm(x, enc["conv1"], stride=1))
+    x = gelu(_conv1d_mm(x, enc["conv2"], stride=2))  # [B, 1500, D]
     pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state), dtype=x.dtype)
     x = x + pos
 
