@@ -107,7 +107,12 @@ def load_audio(path, use_native: Optional[bool] = None) -> np.ndarray:
                 raise
 
     data = path.read_bytes()
-    x, sr = _parse_wav(data)
+    if data[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        x, sr = decode_flac(data)
+    else:
+        x, sr = _parse_wav(data)
     mono = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]  # audio.rs:123-131
     return resample_to_16k(mono, sr)
 
