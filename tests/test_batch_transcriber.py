@@ -82,3 +82,37 @@ def test_batch_matches_sequential(setup):
             assert gs.start_time == pytest.approx(ws.start_time)
             assert gs.end_time == pytest.approx(ws.end_time)
             assert gs.text == ws.text
+
+
+def test_error_isolation(setup):
+    """A poisoned utterance (NaN mel source) must not take down batchmates
+    when raise_on_error=False."""
+    params, audios = setup
+    tok = SmallTokenizer()
+    batch = BatchTranscriber(params, DIMS, tok, OPTS, batch_size=2)
+
+    bad = np.full(16000 * 5, np.nan, np.float32)
+
+    class Boom(Exception):
+        pass
+
+    # poison by monkeypatching run_batch to fail on batches containing the
+    # bad utterance's window (NaNs decode without crashing, so we simulate a
+    # runtime failure instead)
+    orig = batch.decode_task.run_batch
+
+    def flaky(mel, prompts):
+        if np.isnan(np.asarray(mel)).any():
+            raise Boom("device error")
+        return orig(mel, prompts)
+
+    batch.decode_task.run_batch = flaky
+    outs = batch.run([audios[1], bad], raise_on_error=False)
+    assert outs[0] is not None and outs[0].text
+    assert outs[1] is None
+
+    # raise_on_error=True surfaces the utterance's error
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        batch.run([audios[1], bad])

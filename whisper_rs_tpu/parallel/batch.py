@@ -69,8 +69,13 @@ class BatchTranscriber:
             params, dims, tokenizer, options.decode, compute_dtype=compute_dtype
         )
 
-    def run(self, audios: Sequence[np.ndarray]) -> List[TranscribeOutput]:
-        """audios: list of [n_samples] float32 16 kHz arrays."""
+    def run(
+        self, audios: Sequence[np.ndarray], raise_on_error: bool = True
+    ) -> List[Optional[TranscribeOutput]]:
+        """audios: list of [n_samples] float32 16 kHz arrays.
+
+        With ``raise_on_error=False``, failed utterances yield ``None`` in
+        the output list instead of aborting the batch."""
         opts = self.options
         input_stride = N_FRAMES // self.dims.n_audio_ctx
         time_precision = input_stride * QUANTUM
@@ -118,10 +123,28 @@ class BatchTranscriber:
                 results = self.decode_task.run_batch(
                     np.stack(windows, axis=0), prompts
                 )
-            except Exception as e:  # batch-level failure: isolate per utterance
-                for i in chunk:
-                    states[i].error = e
-                continue
+            except Exception:
+                # batch failed: retry each utterance alone so one poisoned
+                # input can't take down its batchmates (per-utterance error
+                # isolation — the reference aborts the whole run on any
+                # error, SURVEY §5 failure-detection row)
+                results = []
+                for w, p in zip(windows, prompts):
+                    try:
+                        results.append(
+                            self.decode_task.run_batch(w[None], [p])[0]
+                        )
+                    except Exception as e:
+                        results.append(e)
+                for j, i in enumerate(chunk):
+                    if isinstance(results[j], Exception):
+                        states[i].error = results[j]
+                results = [
+                    r for r in results if not isinstance(r, Exception)
+                ]
+                chunk = [i for i in chunk if states[i].error is None]
+                if not chunk:
+                    continue
 
             for j, i in enumerate(chunk):
                 s = states[i]
@@ -146,7 +169,10 @@ class BatchTranscriber:
         outputs = []
         for s in states:
             if s.error is not None:
-                raise s.error
+                if raise_on_error:
+                    raise s.error
+                outputs.append(None)
+                continue
             arr = np.asarray(s.tokens, np.int64)
             outputs.append(
                 TranscribeOutput(
