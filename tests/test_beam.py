@@ -180,3 +180,70 @@ def test_beam_candidates_eot_terminated(setup):
         for c in range(cands.shape[1]):
             if scores[i, c] > -1e8:
                 assert EOT in list(cands[i, c])
+
+
+def test_beam_with_prompt_matches_oracle(setup):
+    """Prompt-conditioned beam search vs the oracle: prompt occupies
+    [0, sample_begin), pairing/begin filter state offsets shift."""
+    params, mel = setup
+    mel1 = mel[:1]
+    prompt = [503, 17, 23, SOT]  # [sop, p, p, sot]; sample_begin = 4
+    sample_begin = 4
+    beam = 2
+
+    # device: prefill bucket 8, left-aligned prompt
+    initial = np.zeros((1, 8), np.int32)
+    initial[0, :sample_begin] = prompt
+    result = decode_beam(
+        params,
+        jnp.asarray(mel1),
+        jnp.asarray(initial),
+        jnp.int32(sample_begin),
+        jnp.int32(3),
+        DIMS,
+        CFG,
+        BeamSearchMode(beam_size=beam, patience=1.0),
+        6,
+        no_speech_id=502,
+    )
+    cands = np.asarray(result.candidates)
+    scores = np.asarray(result.scores)
+
+    # oracle on the same prompt
+    xa = encoder_forward(params, jnp.asarray(mel1), DIMS)
+    xa = jnp.repeat(xa, beam, axis=0)
+    cross_kv = precompute_cross_kv(params, xa, DIMS)
+    rows = [list(prompt) for _ in range(beam)]
+    sum_lp = np.zeros(beam)
+    finished = [dict()]
+    for step in range(6):
+        toks = jnp.asarray(np.asarray(rows, np.int32))
+        logits, _ = decoder_forward(
+            params, toks, jnp.int32(0), cross_kv, KVCache.init(DIMS, beam), DIMS
+        )
+        last = np.asarray(logits)[:, -1].astype(np.float64)
+        filt = apply_filters_ref(CFG, last, rows, sample_begin)
+        rows, sum_lp, _src, completed = beam_step_ref(
+            rows, sum_lp, filt, beam, EOT, finished, beam
+        )
+        if completed:
+            break
+    if len(finished[0]) < beam:
+        order = np.argsort(-sum_lp)
+        for j in order:
+            finished[0][tuple(rows[j]) + (EOT,)] = sum_lp[j]
+            if len(finished[0]) >= beam:
+                break
+
+    ref_set = {tuple(k): v for k, v in finished[0].items()}
+    our_set = {}
+    for c in range(cands.shape[1]):
+        if scores[0, c] <= -1e8:
+            continue
+        row = list(cands[0, c])
+        end = row.index(EOT) + 1
+        our_set[tuple(row[:end])] = scores[0, c]
+
+    assert set(our_set) == set(ref_set)
+    for seq in ref_set:
+        np.testing.assert_allclose(our_set[seq], ref_set[seq], rtol=1e-3, atol=1e-3)
