@@ -113,3 +113,72 @@ def test_detect_language_shapes():
         # sorted most-likely first
         vals = list(probs.values())
         assert vals == sorted(vals, reverse=True)
+
+
+def test_compression_ratio_and_fallback_rule():
+    from whisper_rs_tpu.transcribe import compression_ratio, needs_fallback
+
+    assert compression_ratio("ha ha ha ha ha ha ha ha ha ha") > compression_ratio(
+        "the quick brown fox jumped"
+    )
+    opts = TranscribeOptions(
+        temperatures=(0.0, 0.5), compression_ratio_threshold=2.4,
+        logprob_threshold=-1.0,
+    )
+    assert needs_fallback(opts, "ok text", -2.0)  # low confidence
+    assert needs_fallback(opts, "na " * 200, -0.1)  # degenerate repetition
+    assert not needs_fallback(opts, "a normal sentence here", -0.1)
+
+
+def test_temperature_ladder_retries(monkeypatch):
+    """Windows failing quality checks retry at the next temperature."""
+    from whisper_rs_tpu import transcribe as T
+    from whisper_rs_tpu.decode.task import DecodeOutput
+
+    calls = []
+
+    class StubTask:
+        def __init__(self, temperature, outputs):
+            self.temperature = temperature
+            self.outputs = outputs
+
+        def set_prompt(self, p):
+            pass
+
+        def run(self, mel):
+            calls.append(self.temperature)
+            return [self.outputs.pop(0)]
+
+    bad = DecodeOutput(
+        tokens=np.asarray([600, 10], np.int64), text="x", avg_logprob=-5.0,
+        no_speech_prob=0.0,
+    )
+    good = DecodeOutput(
+        tokens=np.asarray([600, 11], np.int64), text="fine words", avg_logprob=-0.2,
+        no_speech_prob=0.0,
+    )
+
+    task = T.TranscribeTask.__new__(T.TranscribeTask)
+    task.dims = DIMS
+    task.tokenizer = type(
+        "Tok",
+        (),
+        {
+            "token_id_ts_begin": 600,
+            "decode": staticmethod(lambda toks: "t"),
+            "encode": staticmethod(lambda s: [1]),
+        },
+    )()
+    task.options = TranscribeOptions(
+        temperatures=(0.0, 0.4), condition_on_prev_text=False
+    )
+    t0 = StubTask(0.0, [bad])
+    t4 = StubTask(0.4, [good])
+    task.decode_task = t0
+    task._fallback_tasks = {0.4: t4}
+    task._task_for_temperature = lambda t: t0 if t == 0.0 else t4
+
+    mel = np.zeros((80, 100), np.float32)
+    out = task.run(None, mel=mel)
+    assert calls == [0.0, 0.4]  # retried once
+    assert out.avg_logprobs == [-0.2]

@@ -149,3 +149,11 @@ class TranscribeOptions:
     # None = reference behavior (never skip).
     no_speech_threshold: Optional[float] = None
     logprob_threshold: float = -1.0
+    # Temperature fallback ladder (OpenAI transcribe semantics; absent from
+    # the reference, whose sampling path is unimplemented): when set, a
+    # window whose decode fails quality checks (compression_ratio >
+    # compression_ratio_threshold, or avg_logprob < logprob_threshold) is
+    # retried at the next temperature.  e.g. (0.0, 0.2, 0.4, 0.6, 0.8, 1.0).
+    # Default None = reference behavior (single decode per window).
+    temperatures: Optional[Tuple[float, ...]] = None
+    compression_ratio_threshold: float = 2.4

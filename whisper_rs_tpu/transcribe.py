@@ -62,6 +62,26 @@ class TranscribeOutput:
     no_speech_probs: List[float] = dataclasses.field(default_factory=list)
 
 
+def compression_ratio(text: str) -> float:
+    """zlib compression ratio of the text — high values flag degenerate
+    repetition loops (OpenAI quality heuristic)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def needs_fallback(opts: TranscribeOptions, text: str, avg_logprob: float) -> bool:
+    """Temperature-ladder retry rule (OpenAI transcribe semantics)."""
+    if compression_ratio(text) > opts.compression_ratio_threshold:
+        return True  # degenerate repetition
+    if avg_logprob < opts.logprob_threshold:
+        return True  # low confidence
+    return False
+
+
 def should_skip_no_speech(
     opts: TranscribeOptions, no_speech_prob: float, avg_logprob: float
 ) -> bool:
@@ -152,9 +172,42 @@ class TranscribeTask:
         self.dims = dims
         self.tokenizer = tokenizer
         self.options = options
+        self._params = params
+        self._compute_dtype = compute_dtype
         self.decode_task = DecodeTask(
             params, dims, tokenizer, options.decode, compute_dtype=compute_dtype
         )
+        self._fallback_tasks: dict = {}
+
+    def _task_for_temperature(self, t: float) -> DecodeTask:
+        """Decode task for one rung of the temperature ladder: t=0 keeps the
+        configured mode; t>0 switches to best-of-N sampling (OpenAI
+        semantics — beam search is not defined at temperature)."""
+        import dataclasses as _dc
+
+        from .config import BeamSearchMode, GreedyMode
+
+        if t == 0.0:
+            return self.decode_task
+        if t not in self._fallback_tasks:
+            base_mode = self.options.decode.mode
+            n = (
+                base_mode.beam_size
+                if isinstance(base_mode, BeamSearchMode)
+                else getattr(base_mode, "group_size", 1) or 1
+            )
+            opts = _dc.replace(
+                self.options.decode,
+                mode=GreedyMode(group_size=max(n, 1), temperature=t),
+            )
+            self._fallback_tasks[t] = DecodeTask(
+                self._params,
+                self.dims,
+                self.tokenizer,
+                opts,
+                compute_dtype=self._compute_dtype,
+            )
+        return self._fallback_tasks[t]
 
     def run(self, audio, mel: Optional[np.ndarray] = None) -> TranscribeOutput:
         """audio: [n_samples] f32 at 16 kHz (or pass a precomputed
@@ -189,10 +242,23 @@ class TranscribeTask:
         while seek < n_frames:
             window = pad_or_trim(mel[:, seek:], N_FRAMES)
 
-            if condition:
-                self.decode_task.set_prompt(tokens)
-
-            result = self.decode_task.run(window)[0]
+            # temperature fallback ladder (None = single pass, reference
+            # behavior)
+            ladder = opts.temperatures or (0.0,)
+            result = None
+            for idx, t in enumerate(ladder):
+                task = (
+                    self.decode_task
+                    if opts.temperatures is None
+                    else self._task_for_temperature(t)
+                )
+                if condition:
+                    task.set_prompt(tokens)
+                result = task.run(window)[0]
+                if idx == len(ladder) - 1 or opts.temperatures is None:
+                    break
+                if not needs_fallback(opts, result.text, result.avg_logprob):
+                    break
             segment_tokens = np.asarray(result.tokens, np.int64)
             avg_logprobs.append(result.avg_logprob)
             no_speech_probs.append(result.no_speech_prob)
