@@ -14,7 +14,6 @@ suite as there is no FLAC tooling in the image.
 
 from __future__ import annotations
 
-import struct
 from typing import List, Tuple
 
 import numpy as np

@@ -24,13 +24,11 @@ against the reference's CSV fixtures.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import HOP_LENGTH, N_FFT, N_FREQS, N_MELS, SAMPLE_RATE
+from .constants import HOP_LENGTH, N_FFT, N_MELS, SAMPLE_RATE
 
 
 # ---------------------------------------------------------------------------

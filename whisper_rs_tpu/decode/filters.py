@@ -19,7 +19,6 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 from jax.scipy.special import logsumexp
 
 NEG_INF = float("-inf")

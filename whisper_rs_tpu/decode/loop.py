@@ -27,8 +27,7 @@ induction, so the outcomes are identical.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +36,6 @@ from jax import lax
 
 from ..config import BeamSearchMode, GreedyMode, ModelDims
 from ..models.whisper import (
-    CrossKV,
     KVCache,
     decoder_forward,
     encoder_forward,

@@ -16,14 +16,13 @@ design:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import BeamSearchMode, DecodeOptions, GreedyMode, ModelDims
+from ..config import DecodeOptions, GreedyMode, ModelDims
 from ..tokenize import Tokenizer
 from .filters import FilterConfig
 from .loop import decode_beam, decode_greedy

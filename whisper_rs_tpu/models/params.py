@@ -25,8 +25,6 @@ torch's [out, in].
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -28,7 +28,6 @@ logits via the tied token embedding (model.rs:521).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -18,7 +18,6 @@ wrappers pin axis names and document which wire each op rides:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS

@@ -15,7 +15,7 @@ The reference is strictly single-process (SURVEY §2.3).  Here:
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
