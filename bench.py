@@ -107,10 +107,13 @@ def main():
     audio_seconds = batch * 30.0
     throughput = audio_seconds / best
 
+    mode_desc = (
+        f"beam={mode.beam_size}" if bench_mode == "beam" else "greedy"
+    )
     print(
         json.dumps(
             {
-                "metric": f"audio-seconds/s per chip ({model_name}, greedy, "
+                "metric": f"audio-seconds/s per chip ({model_name}, {mode_desc}, "
                 f"batch={batch}, {steps} decode steps)",
                 "value": round(throughput, 2),
                 "unit": "audio-s/s",

@@ -16,5 +16,31 @@ from .config import (
     TranscribeOptions,
     dims_for,
 )
+from .decode import DecodeOutput, DecodeTask
+from .models import init_params, load_openai_checkpoint
+from .models.checkpoint import load_params, save_params
+from .tokenize import Task, Tokenizer
+from .transcribe import TranscribeOutput, TranscribeSegment, TranscribeTask
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "BeamSearchMode",
+    "DecodeOptions",
+    "DecodeOutput",
+    "DecodeTask",
+    "GreedyMode",
+    "MODEL_REGISTRY",
+    "ModelDims",
+    "Task",
+    "Tokenizer",
+    "TranscribeOptions",
+    "TranscribeOutput",
+    "TranscribeSegment",
+    "TranscribeTask",
+    "dims_for",
+    "init_params",
+    "load_openai_checkpoint",
+    "load_params",
+    "save_params",
+]

@@ -123,7 +123,7 @@ def _encode_and_prefill(
 
 def _step_logits(
     params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin,
-    key_start=None, cross_group: int = 1,
+    key_start=None, cross_group: int = 1, ctx_window=None,
 ):
     """One incremental decoder step: feed the token at pos-1, return
     filtered logits for position pos and the updated cache."""
@@ -133,12 +133,31 @@ def _step_logits(
     )  # [B, 1]
     logits, cache = decoder_forward(
         params, tok_in, pos - 1, cross_kv, cache, dims, key_start=key_start,
-        cross_group=cross_group,
+        cross_group=cross_group, ctx_window=ctx_window,
     )
     filtered = apply_filters(
         cfg, logits[:, 0].astype(jnp.float32), tokens, pos, sample_begin
     )
     return filtered, cache
+
+
+def _phase_windows(n_ctx: int, prefill_width: int, sample_len: int) -> tuple:
+    """Static cache-window schedule for the decode loop.
+
+    Self-attention reads and beam cache gathers only need slots
+    ``[0, pos]``; running the loop in phases with growing static windows
+    (256 -> n_ctx) cuts that HBM stream roughly in half on typical decodes.
+    Phases that the position can never reach are dropped at trace time.
+    """
+    max_pos = min(n_ctx, prefill_width + sample_len + 1)
+    wins = []
+    for W in (256, n_ctx):
+        if W <= (wins[-1] if wins else 0):
+            continue
+        wins.append(W)
+        if W >= max_pos:
+            break
+    return tuple(wins)
 
 
 # ---------------------------------------------------------------------------
@@ -228,23 +247,29 @@ def decode_greedy(
         cache=cache,
     )
 
-    def cond(s: _GreedyState):
-        # loop bounds from decode/mod.rs:234,274-276: sample_len steps max,
-        # stop when all rows emitted EOT or the context is full
-        return (s.step < sample_len) & ~jnp.all(s.finished) & (s.pos < n_ctx)
+    # phased cache windows: loop bounds from decode/mod.rs:234,274-276
+    # (sample_len steps max, stop when all rows emitted EOT or the context
+    # is full), with attention reads statically capped per phase
+    s = init
+    for W in _phase_windows(n_ctx, initial_tokens.shape[1], sample_len):
 
-    def body(s: _GreedyState):
-        logits, cache = _step_logits(
-            params, s.tokens, s.pos, cross_kv, s.cache, dims, cfg, sample_begin,
-            key_start, group,
-        )
-        tokens, sum_lp, finished = _greedy_update(
-            logits, s.tokens, s.pos, s.sum_logprobs, s.finished, eot,
-            temperature, step_rng(s.pos),
-        )
-        return _GreedyState(s.step + 1, s.pos + 1, tokens, sum_lp, finished, cache)
+        def cond(st: _GreedyState, W=W):
+            return (st.step < sample_len) & ~jnp.all(st.finished) & (st.pos < W)
 
-    s = lax.while_loop(cond, body, init)
+        def body(st: _GreedyState, W=W):
+            logits, cache = _step_logits(
+                params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg,
+                sample_begin, key_start, group, ctx_window=W,
+            )
+            tokens, sum_lp, finished = _greedy_update(
+                logits, st.tokens, st.pos, st.sum_logprobs, st.finished, eot,
+                temperature, step_rng(st.pos),
+            )
+            return _GreedyState(
+                st.step + 1, st.pos + 1, tokens, sum_lp, finished, cache
+            )
+
+        s = lax.while_loop(cond, body, s)
 
     # finalize (OpenAI GreedyDecoder.finalize; the reference left this
     # todo!(), greedy.rs:60): rows that never emitted EOT get one appended.
@@ -291,6 +316,7 @@ def _beam_step(
     beam: int,
     cap: int,
     eot: int,
+    ctx_window=None,
 ):
     """One beam-search update (beam_search.rs:22-148, vectorized).
 
@@ -337,7 +363,7 @@ def _beam_step(
 
     tokens = jnp.take(s.tokens, global_src, axis=0)
     tokens = lax.dynamic_update_slice(tokens, new_tok[:, None], (0, s.pos))
-    cache = s.cache.reorder(global_src)
+    cache = s.cache.reorder(global_src, window=ctx_window)
 
     # ---- finished candidates -> capacity-capped buffer -------------------
     # The reference walks candidates in score order and STOPS after saving
@@ -424,22 +450,29 @@ def decode_beam(
         fin_count=jnp.zeros((n_audio,), jnp.int32),
     )
 
-    # first step uses the prefill logits
-    s = _beam_step(first_logits, init, beam, cap, eot)
+    phases = _phase_windows(n_ctx, initial_tokens.shape[1], sample_len)
 
-    def cond(st: _BeamState):
-        completed = jnp.all(st.fin_count >= cap)  # beam_search.rs:140-147
-        return (st.step < sample_len) & ~completed & (st.pos < n_ctx)
+    # first step uses the prefill logits (valid cache rows < prefill width
+    # <= first phase window)
+    s = _beam_step(first_logits, init, beam, cap, eot, ctx_window=phases[0])
 
-    def body(st: _BeamState):
-        logits, cache = _step_logits(
-            params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg, sample_begin,
-            key_start, beam,
-        )
-        st = st._replace(cache=cache)
-        return _beam_step(logits, st, beam, cap, eot)
+    # phased cache windows: caps both the attention reads and the per-step
+    # beam cache gather (the dominant beam-search HBM stream)
+    for W in phases:
 
-    s = lax.while_loop(cond, body, s)
+        def cond(st: _BeamState, W=W):
+            completed = jnp.all(st.fin_count >= cap)  # beam_search.rs:140-147
+            return (st.step < sample_len) & ~completed & (st.pos < W)
+
+        def body(st: _BeamState, W=W):
+            logits, cache = _step_logits(
+                params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg,
+                sample_begin, key_start, beam, ctx_window=W,
+            )
+            st = st._replace(cache=cache)
+            return _beam_step(logits, st, beam, cap, eot, ctx_window=W)
+
+        s = lax.while_loop(cond, body, s)
 
     # ---- finalize (beam_search.rs:151-206): backfill each audio that has
     # fewer than beam finished sequences with its best unfinished beams,

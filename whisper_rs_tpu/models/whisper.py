@@ -230,17 +230,30 @@ class KVCache(NamedTuple):
         )
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
-    def reorder(self, source_indices: jnp.ndarray) -> "KVCache":
+    def reorder(self, source_indices: jnp.ndarray, window: Optional[int] = None) -> "KVCache":
         """Beam-search cache permutation along the batch axis.
 
         Equivalent of the reference's ``model.update_cache(source_indices)``
         fan-out (beam_search.rs:111-114 -> model.rs:53-62), as a pure gather.
         With data-parallel sharding over utterances the indices are
         batch-local, so this stays free of cross-chip traffic.
+
+        ``window`` restricts the gather to cache slots ``[0, window)`` — the
+        only rows that hold live data while the decode position is below
+        ``window``.  The full-width gather is the dominant per-step HBM
+        stream of beam search, so the decode loop phases the window up
+        (e.g. 256 -> n_ctx) as the position grows.
         """
+        if window is None or window >= self.k.shape[3]:
+            return KVCache(
+                jnp.take(self.k, source_indices, axis=1),
+                jnp.take(self.v, source_indices, axis=1),
+            )
+        kw = jnp.take(self.k[:, :, :, :window], source_indices, axis=1)
+        vw = jnp.take(self.v[:, :, :, :window], source_indices, axis=1)
         return KVCache(
-            jnp.take(self.k, source_indices, axis=1),
-            jnp.take(self.v, source_indices, axis=1),
+            lax.dynamic_update_slice(self.k, kw, (0, 0, 0, 0, 0)),
+            lax.dynamic_update_slice(self.v, vw, (0, 0, 0, 0, 0)),
         )
 
 
@@ -278,6 +291,7 @@ def decoder_forward(
     key_start: Optional[jnp.ndarray] = None,  # [B] first valid cache slot
     logit_positions: Optional[jnp.ndarray] = None,  # [K] rows of T to project
     cross_group: int = 1,  # beams/samples per audio sharing one cross-K/V
+    ctx_window: Optional[int] = None,  # static cap on attended cache slots
     logits_dtype=jnp.float32,
 ) -> tuple:
     """One decoder pass (prefill if T>1, incremental if T==1).
@@ -304,8 +318,12 @@ def decoder_forward(
 
     # absolute positions of the T query tokens and the causal key mask:
     # query at abs pos p sees cache slots <= p (hides unwritten slots too).
+    # ctx_window statically restricts attention (and its HBM reads) to the
+    # cache prefix that can hold data yet — callers guarantee
+    # pos_offset + T <= ctx_window.
+    W = dims.n_text_ctx if ctx_window is None else min(ctx_window, dims.n_text_ctx)
     q_pos = pos_offset + jnp.arange(T)  # [T]
-    key_idx = jnp.arange(dims.n_text_ctx)  # [n_ctx]
+    key_idx = jnp.arange(W)  # [W]
     neg = jnp.asarray(-jnp.inf, dtype=jnp.float32)
     visible = key_idx[None, :] <= q_pos[:, None]  # [T, n_ctx]
 
@@ -344,10 +362,10 @@ def decoder_forward(
         )  # [L, B, H, n_ctx, dh]
         v_all = lax.dynamic_update_slice(v_all, v_new[None], (l, 0, 0, pos_offset, 0))
         cache_k = lax.dynamic_slice(
-            k_all, (l, 0, 0, 0, 0), (1, B, n_head, n_ctx, d_head)
+            k_all, (l, 0, 0, 0, 0), (1, B, n_head, W, d_head)
         )[0]
         cache_v = lax.dynamic_slice(
-            v_all, (l, 0, 0, 0, 0), (1, B, n_head, n_ctx, d_head)
+            v_all, (l, 0, 0, 0, 0), (1, B, n_head, W, d_head)
         )[0]
         attn = _attend(q, cache_k, cache_v, self_mask)
         x = x + linear(_merge_heads(attn), bp["attn"]["out"])
