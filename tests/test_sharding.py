@@ -157,3 +157,58 @@ def test_encoder_dp_only(setup):
         mel_s = jax.device_put(jnp.asarray(mel8), batch_sharding(mesh, 3))
         got = np.asarray(jax.jit(lambda p, m: encoder_forward(p, m, DIMS))(sp, mel_s))
     np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_batch_transcriber_e2e(setup):
+    """Config #4 wiring: TP-sharded params + DP batch driver running the full
+    chunked, prompt-conditioned transcription on the fake mesh."""
+    from whisper_rs_tpu.config import (
+        DecodeOptions,
+        GreedyMode,
+        TranscribeOptions,
+    )
+    from whisper_rs_tpu.parallel.batch import BatchTranscriber
+
+    class SmallTok:
+        token_id_sot = 501
+        token_id_eot = 500
+        token_id_no_speech = 502
+        token_id_startofprev = 503
+        token_id_no_timestamps = 599
+        token_id_ts_begin = 600
+        token_id_space = 7
+
+        def decode(self, toks):
+            return "".join(f"<{int(t)}>" for t in toks if int(t) < 500)
+
+        def sequence_sot(self):
+            return [self.token_id_sot]
+
+        def non_speech_tokens(self):
+            return (3, 5)
+
+    params, _ = setup
+    opts = TranscribeOptions(
+        decode=DecodeOptions(mode=GreedyMode(), sample_len=6),
+        condition_on_prev_text=True,
+    )
+    rng = np.random.default_rng(11)
+    audios = [
+        (rng.standard_normal(16000 * 35) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 * 20) * 0.1).astype(np.float32),
+    ]
+
+    # unsharded baseline
+    base = BatchTranscriber(params, DIMS, SmallTok(), opts, batch_size=2)
+    want = base.run(audios)
+
+    # TP=2 x DP=4 mesh, sharded params
+    mesh = make_mesh(n_model=2)
+    with jax.set_mesh(mesh):
+        sp = shard_params(mesh, params)
+        sharded = BatchTranscriber(sp, DIMS, SmallTok(), opts, batch_size=2)
+        got = sharded.run(audios)
+
+    for w, g in zip(want, got):
+        assert w.text == g.text
+        np.testing.assert_array_equal(w.tokens, g.tokens)

@@ -151,9 +151,9 @@ def _phase_windows(n_ctx: int, prefill_width: int, sample_len: int) -> tuple:
     """
     max_pos = min(n_ctx, prefill_width + sample_len + 1)
     wins = []
-    for W in (256, n_ctx):
-        if W <= (wins[-1] if wins else 0):
-            continue
+    for W in (128, 256, n_ctx):
+        if W < prefill_width or W <= (wins[-1] if wins else 0):
+            continue  # positions start at sample_begin <= prefill_width
         wins.append(W)
         if W >= max_pos:
             break
@@ -363,7 +363,16 @@ def _beam_step(
 
     tokens = jnp.take(s.tokens, global_src, axis=0)
     tokens = lax.dynamic_update_slice(tokens, new_tok[:, None], (0, s.pos))
-    cache = s.cache.reorder(global_src, window=ctx_window)
+    # skip the cache gather when the permutation is identity (each beam kept
+    # its own continuation — the common steady state), saving the dominant
+    # per-step HBM stream on those steps
+    identity = jnp.all(global_src == jnp.arange(global_src.shape[0]))
+    cache = lax.cond(
+        identity,
+        lambda c: c,
+        lambda c: c.reorder(global_src, window=ctx_window),
+        s.cache,
+    )
 
     # ---- finished candidates -> capacity-capped buffer -------------------
     # The reference walks candidates in score order and STOPS after saving
