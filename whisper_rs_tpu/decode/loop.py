@@ -363,16 +363,10 @@ def _beam_step(
 
     tokens = jnp.take(s.tokens, global_src, axis=0)
     tokens = lax.dynamic_update_slice(tokens, new_tok[:, None], (0, s.pos))
-    # skip the cache gather when the permutation is identity (each beam kept
-    # its own continuation — the common steady state), saving the dominant
-    # per-step HBM stream on those steps
-    identity = jnp.all(global_src == jnp.arange(global_src.shape[0]))
-    cache = lax.cond(
-        identity,
-        lambda c: c,
-        lambda c: c.reorder(global_src, window=ctx_window),
-        s.cache,
-    )
+    # NOTE: an identity-permutation fast path via lax.cond was tried and
+    # measured SLOWER (cond defeats in-loop buffer aliasing, forcing copies
+    # on the pass-through branch) — keep the unconditional windowed gather.
+    cache = s.cache.reorder(global_src, window=ctx_window)
 
     # ---- finished candidates -> capacity-capped buffer -------------------
     # The reference walks candidates in score order and STOPS after saving

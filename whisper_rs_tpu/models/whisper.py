@@ -128,13 +128,23 @@ def mha_self(x_ln: jnp.ndarray, p: dict, n_head: int, mask) -> jnp.ndarray:
     we fold both into q (s^2 = head_dim**-0.5) so K is never rewritten —
     the qk product is identical up to f32 rounding, and in the decode path
     this avoids materializing a scaled copy of the whole K cache per step.
+
+    Unmasked calls (the encoder's full 1500-frame attention) route through
+    the flash kernel on TPU (ops/encoder_attention.py) so scores are never
+    materialized.
     """
     d_head = x_ln.shape[-1] // n_head
     scale = d_head**-0.5
-    q = _split_heads(linear(x_ln, p["query"]), n_head) * scale
+    q = _split_heads(linear(x_ln, p["query"]), n_head)
     k = _split_heads(linear(x_ln, p["key"]), n_head)
     v = _split_heads(linear(x_ln, p["value"]), n_head)
-    return linear(_merge_heads(_attend(q, k, v, mask)), p["out"])
+    if mask is None:
+        from ..ops.encoder_attention import encoder_attention
+
+        out = encoder_attention(q, k, v, scale)
+    else:
+        out = _attend(q * scale, k, v, mask)
+    return linear(_merge_heads(out), p["out"])
 
 
 # ---------------------------------------------------------------------------
