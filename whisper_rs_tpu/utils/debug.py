@@ -59,6 +59,14 @@ def profiler_trace(name: str):
         yield
 
 
+def enable_nan_checks() -> None:
+    """Turn on jax_debug_nans: any NaN produced under jit raises at the op
+    that made it.  JAX's functional purity already rules out the shared-
+    mutable-state races the reference prevents with ``Cell``/``!Sync``
+    types (model.rs:40); this covers numeric corruption instead."""
+    jax.config.update("jax_debug_nans", True)
+
+
 def start_profiler(logdir: str) -> None:
     jax.profiler.start_trace(logdir)
 
