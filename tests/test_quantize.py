@@ -1,0 +1,63 @@
+"""int8 weight-only quantization: numeric closeness + full decode runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_rs_tpu.config import GreedyMode, ModelDims
+from whisper_rs_tpu.decode import FilterConfig, decode_greedy
+from whisper_rs_tpu.models import encoder_forward, init_params, model_forward
+from whisper_rs_tpu.models.quantize import quantize_params
+from whisper_rs_tpu.models.whisper import linear
+
+DIMS = ModelDims(80, 1000, 1500, 64, 4, 2, 448, 64, 4, 2)
+
+
+def test_linear_dequant_epilogue():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((32, 16)).astype(np.float32) * 0.3
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    from whisper_rs_tpu.models.quantize import _quantize_linear
+
+    q = _quantize_linear({"w": jnp.asarray(w), "b": jnp.zeros(16)})
+    assert q["w"].dtype == jnp.int8
+    got = np.asarray(linear(jnp.asarray(x), q))
+    np.testing.assert_allclose(got, x @ w, rtol=0.02, atol=0.02)
+
+
+def test_quantized_forward_close():
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    qparams = quantize_params(params)
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.3
+    tokens = np.asarray([[501, 601, 17]], np.int32)
+
+    ref = np.asarray(model_forward(params, jnp.asarray(mel), jnp.asarray(tokens), DIMS))
+    got = np.asarray(model_forward(qparams, jnp.asarray(mel), jnp.asarray(tokens), DIMS))
+    # int8 weights: logits track within a few percent of the f32 model
+    denom = np.maximum(np.abs(ref).max(), 1e-3)
+    assert np.abs(got - ref).max() / denom < 0.15
+    # top-1 argmax agreement on most positions
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree >= 2 / 3
+
+
+def test_quantized_decode_runs():
+    params = quantize_params(init_params(jax.random.PRNGKey(0), DIMS))
+    cfg = FilterConfig(
+        n_vocab=1000,
+        token_id_eot=500,
+        token_id_space=7,
+        token_id_ts_begin=600,
+        token_id_no_timestamps=599,
+    )
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3
+    initial = np.asarray([[501]] * 2, np.int32)
+    out = decode_greedy(
+        params, jnp.asarray(mel), jnp.asarray(initial), jnp.int32(1),
+        jnp.int32(0), DIMS, cfg, GreedyMode(), 6, no_speech_id=502,
+    )
+    c = np.asarray(out.candidates)
+    assert c.shape == (2, 1, 448)
+    assert (c[:, 0, 1] >= 600).all()  # forced initial timestamp still applies

@@ -54,9 +54,14 @@ def layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """x @ W (+ b); weights cast to x.dtype (model.rs:25-33)."""
-    w = p["w"].astype(x.dtype)
-    y = x @ w
+    """x @ W (+ b); weights cast to x.dtype (model.rs:25-33).
+
+    int8 weight-only quantization (models/quantize.py) adds a per-output-
+    channel scale leaf ``"s"``: the weight is stored int8 (half the HBM
+    stream of bf16) and dequantized in the matmul epilogue."""
+    y = x @ p["w"].astype(x.dtype)
+    if "s" in p:
+        y = y * p["s"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -349,7 +354,10 @@ def decoder_forward(
         pos = lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T, axis=0)
         self_mask = jnp.where(visible, 0.0, neg)[None, None]  # [1, 1, T, n_ctx]
 
-    x = (tok_emb[tokens] + pos).astype(cache.k.dtype)
+    emb = tok_emb[tokens].astype(cache.k.dtype)
+    if "token_emb_scale" in dec:  # int8-quantized embedding (quantize.py)
+        emb = emb * dec["token_emb_scale"][tokens][..., None].astype(cache.k.dtype)
+    x = emb + pos.astype(cache.k.dtype)
 
     # The full stacked cache rides the scan CARRY (not ys): ys would
     # materialize a fresh [L, B, H, n_ctx, dh] copy every decode step, while
@@ -416,6 +424,8 @@ def decoder_forward(
         tok_emb.astype(logits_dtype),
         preferred_element_type=logits_dtype,
     )
+    if "token_emb_scale" in dec:
+        logits = logits * dec["token_emb_scale"].astype(logits_dtype)[None, None, :]
     return logits, KVCache(new_k, new_v)
 
 
