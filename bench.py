@@ -14,6 +14,7 @@ Env knobs:
   BENCH_MODE   greedy|beam (default greedy)   BENCH_BEAM (default 5)
   BENCH_STEPS  decode steps (default: full sample_len 224)
   BENCH_ITERS  timed iterations (default 3)
+  BENCH_QUANT  int8 -> weight-only quantized params
 """
 
 import json
@@ -43,6 +44,11 @@ def main():
     dtype = jnp.float32 if on_cpu else jnp.bfloat16
 
     params = init_params(jax.random.PRNGKey(0), dims, dtype=dtype)
+    quant = os.environ.get("BENCH_QUANT", "")
+    if quant == "int8":
+        from whisper_rs_tpu.models.quantize import quantize_params
+
+        params = quantize_params(params)
 
     cfg = FilterConfig(
         n_vocab=dims.n_vocab,
@@ -110,6 +116,8 @@ def main():
     mode_desc = (
         f"beam={mode.beam_size}" if bench_mode == "beam" else "greedy"
     )
+    if quant:
+        mode_desc += f", {quant}"
     print(
         json.dumps(
             {
