@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-condition-on-prev-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--quant", default=None, choices=["int8"],
+        help="weight-only quantization (halves weight HBM traffic)",
+    )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel chips")
     p.add_argument("--json", action="store_true", help="emit JSON output")
     return p
@@ -55,6 +59,11 @@ def main(argv=None) -> int:
 
     with step_timer("load checkpoint"):
         params, dims = load_openai_checkpoint(args.checkpoint, dtype=dtype)
+
+    if args.quant == "int8":
+        from .models.quantize import quantize_params
+
+        params = quantize_params(params)
 
     if args.tp > 1:
         from .parallel import make_mesh, shard_params
