@@ -8,7 +8,7 @@ from .constants import (
     N_SAMPLES,
     SAMPLE_RATE,
 )
-from .mel import hann_window, log_mel_spectrogram, mel_filterbank, pad_or_trim
+from .mel import hann_window, log_mel_file, log_mel_spectrogram, mel_filterbank, pad_or_trim
 
 __all__ = [
     "CHUNK_LENGTH",
@@ -20,6 +20,7 @@ __all__ = [
     "N_SAMPLES",
     "SAMPLE_RATE",
     "hann_window",
+    "log_mel_file",
     "log_mel_spectrogram",
     "mel_filterbank",
     "pad_or_trim",

@@ -166,6 +166,43 @@ def _frame_audio(audio: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return padded[idx]
 
 
+def log_mel_file(
+    audio: np.ndarray,
+    n_mels: int = N_MELS,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Whole-file mel with jit-stable shapes: audio is zero-padded up to the
+    next 30s bucket, the (jitted, shape-bucketed) spectrogram runs once, and
+    the result is sliced back to the true frame count.
+
+    Rationale: the seek-loop driver computes mel for arbitrary-length files
+    (transcribe.rs:111-112); tracing per unique length would recompile, and
+    eager dispatch pays per-op latency on remote runtimes.  Zero tail
+    padding can alter at most the last 2 frames relative to an exact-length
+    reflect-padded STFT — beyond the true n_frames the seek loop never
+    looks, and the final window is zero-padded anyway (pad_or_trim).
+    """
+    from .constants import N_SAMPLES
+
+    n = int(np.shape(audio)[-1])
+    n_frames = n // HOP_LENGTH
+    bucket = max(1, -(-n // N_SAMPLES)) * N_SAMPLES
+    padded = np.zeros(bucket, np.float32)
+    padded[:n] = np.asarray(audio, np.float32)
+    mel = _jitted_mel(jnp.asarray(padded), n_mels, dtype)
+    return mel[:, :n_frames]
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_mel_fn(n_mels: int, dtype):
+    return jax.jit(lambda a: log_mel_spectrogram(a, n_mels, dtype=dtype))
+
+
+def _jitted_mel(audio, n_mels, dtype):
+    return _jitted_mel_fn(n_mels, dtype)(audio)
+
+
 def log_mel_spectrogram(
     audio: jnp.ndarray,
     n_mels: int = N_MELS,

@@ -23,7 +23,7 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio import N_FRAMES, log_mel_spectrogram, pad_or_trim
+from ..audio import N_FRAMES, log_mel_file, pad_or_trim
 from ..config import ModelDims, TranscribeOptions
 from ..decode import DecodeTask
 from ..tokenize import Tokenizer
@@ -93,9 +93,7 @@ class BatchTranscriber:
 
         states = []
         for audio in audios:
-            mel = np.asarray(
-                log_mel_spectrogram(jnp.asarray(audio), self.dims.n_mels)
-            )
+            mel = np.asarray(log_mel_file(audio, self.dims.n_mels))
             states.append(_UttState(mel=mel, tokens=list(init_tokens)))
 
         while True:

@@ -28,7 +28,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .audio import HOP_LENGTH, N_FRAMES, SAMPLE_RATE, log_mel_spectrogram, pad_or_trim
+from .audio import HOP_LENGTH, N_FRAMES, SAMPLE_RATE, log_mel_file, pad_or_trim
 from .config import ModelDims, TranscribeOptions
 from .decode import DecodeTask
 from .tokenize import Tokenizer
@@ -213,7 +213,7 @@ class TranscribeTask:
         """audio: [n_samples] f32 at 16 kHz (or pass a precomputed
         ``mel`` [n_mels, n_frames])."""
         if mel is None:
-            mel = log_mel_spectrogram(jnp.asarray(audio), self.dims.n_mels)
+            mel = log_mel_file(audio, self.dims.n_mels)
         mel = jnp.asarray(mel)
         n_frames = mel.shape[-1]
 
