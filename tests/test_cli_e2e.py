@@ -96,3 +96,29 @@ def test_cli_missing_audio(checkpoint, capsys):
          "--sample-len", "4", "--dtype", "float32"]
     )
     assert rc == 1
+
+
+def test_cli_beam_and_quant(checkpoint, tmp_path, capsys):
+    """Beam-search CLI path with int8 quantization, end to end."""
+    from whisper_rs_tpu.audio.io import write_wav
+    from whisper_rs_tpu.cli import main
+
+    rng = np.random.default_rng(1)
+    wav = tmp_path / "b.wav"
+    write_wav(wav, (rng.standard_normal(16000) * 0.1).astype(np.float32))
+
+    rc = main(
+        [
+            str(wav),
+            "--checkpoint", checkpoint,
+            "--beam", "2",
+            "--sample-len", "4",
+            "--dtype", "float32",
+            "--quant", "int8",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(out)
+    assert "text" in payload and payload["segments"]

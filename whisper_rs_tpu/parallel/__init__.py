@@ -1,6 +1,6 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated
 from .sharding import batch_sharding, param_shardings, shard_params
-from .distributed import initialize_multihost, pad_batch
+from .distributed import initialize_multihost
 
 __all__ = [
     "DATA_AXIS",
@@ -9,7 +9,6 @@ __all__ = [
     "data_sharding",
     "initialize_multihost",
     "make_mesh",
-    "pad_batch",
     "param_shardings",
     "replicated",
     "shard_params",

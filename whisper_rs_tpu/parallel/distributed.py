@@ -47,13 +47,3 @@ def initialize_multihost(
         num_processes=num_processes,
         process_id=process_id,
     )
-
-
-def pad_batch(windows: Sequence[np.ndarray], batch: int) -> np.ndarray:
-    """Stack up to ``batch`` mel windows, padding with copies of the last
-    (static batch shape for jit; padded rows' outputs are discarded)."""
-    if not windows:
-        raise ValueError("no windows")
-    n = len(windows)
-    stacked = np.stack(list(windows) + [windows[-1]] * (batch - n), axis=0)
-    return stacked
