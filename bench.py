@@ -28,7 +28,7 @@ import numpy as np
 
 def main():
     model_name = os.environ.get("BENCH_MODEL", "base.en")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     from whisper_rs_tpu.config import BeamSearchMode, GreedyMode, dims_for

@@ -119,3 +119,27 @@ def test_suppress_lists_disabled():
     ours, ref = _run_both(cfg, logits, rows, 1)
     np.testing.assert_allclose(ours, logits, rtol=1e-6)
     np.testing.assert_allclose(ref, logits, rtol=1e-6)
+
+
+def test_filters_random_property(subtests=None):
+    """Property test: 40 random (logits, history) states must match the
+    row-wise oracle bit-for-bit on the ban pattern."""
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        B = int(rng.integers(1, 5))
+        sample_begin = int(rng.integers(1, 6))
+        n_sampled = int(rng.integers(0, 6))
+        L = sample_begin + n_sampled
+        rows = []
+        for _ in range(B):
+            prompt = rng.integers(0, V, sample_begin - 1).tolist() + [51]
+            sampled = []
+            for _ in range(n_sampled):
+                # mix of text and timestamp tokens
+                sampled.append(
+                    int(rng.integers(60, 90)) if rng.random() < 0.5
+                    else int(rng.integers(0, 50))
+                )
+            rows.append(prompt + sampled)
+        logits = rng.standard_normal((B, V)) * 2
+        _check(CFG, logits, rows, sample_begin)

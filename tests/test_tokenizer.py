@@ -82,3 +82,26 @@ def test_non_speech_tokens(tok):
 
 def test_token_id_space(tok):
     assert tok.token_id_space == tok.encode(" hello")[0] or tok.token_id_space == tok.encode(" ")[0]
+
+
+def test_multilingual_sot_sequence(tok, monkeypatch):
+    """Multilingual sequence [sot, <|lang|>, <|task|>] (the reference leaves
+    this unimplemented, tokenize.rs:202-203)."""
+    monkeypatch.setattr(
+        Tokenizer, "is_multilingual", property(lambda self: True)
+    )
+    tok2 = Tokenizer(Task.TRANSCRIBE, language="de")
+    seq = tok2.sequence_sot()
+    assert seq[0] == tok2.token_id_sot
+    assert seq[1] == tok2._tk.token_to_id("<|de|>")
+    assert seq[2] == tok2.token_id_transcribe
+
+    tok3 = Tokenizer(Task.TRANSLATE, language="fr")
+    seq = tok3.sequence_sot()
+    assert seq[2] == tok3.token_id_translate
+
+    import pytest as _pytest
+
+    tok4 = Tokenizer(Task.TRANSCRIBE, language="xx")
+    with _pytest.raises(ValueError):
+        tok4.sequence_sot()
