@@ -14,7 +14,7 @@ Env knobs:
   BENCH_MODE   greedy|beam (default greedy)   BENCH_BEAM (default 5)
   BENCH_STEPS  decode steps (default: full sample_len 224)
   BENCH_ITERS  timed iterations (default 3)
-  BENCH_QUANT  int8 -> weight-only quantized params
+  BENCH_QUANT  int8|kv|int8kv -> weight-only / cross-KV / both quantized
 """
 
 import json
@@ -45,10 +45,11 @@ def main():
 
     params = init_params(jax.random.PRNGKey(0), dims, dtype=dtype)
     quant = os.environ.get("BENCH_QUANT", "")
-    if quant == "int8":
+    if "int8" in quant:
         from whisper_rs_tpu.models.quantize import quantize_params
 
         params = quantize_params(params)
+    quantize_kv = "kv" in quant
 
     cfg = FilterConfig(
         n_vocab=dims.n_vocab,
@@ -91,6 +92,7 @@ def main():
             steps,
             no_speech_id=50361,
             compute_dtype=dtype,
+            quantize_cross_kv=quantize_kv,
         )
 
     # distinct input buffers per iteration (identical repeats can be

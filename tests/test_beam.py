@@ -247,3 +247,34 @@ def test_beam_with_prompt_matches_oracle(setup):
     assert set(our_set) == set(ref_set)
     for seq in ref_set:
         np.testing.assert_allclose(our_set[seq], ref_set[seq], rtol=1e-3, atol=1e-3)
+
+
+def test_beam5_deep_matches_oracle(setup):
+    """Deeper search: beam=5, 16 steps — exercises multi-round finished
+    collection and patience bookkeeping at reference scale (beam=5 is the
+    reference example default, examples/transcribe.rs:47)."""
+    params, mel = setup
+    mel1 = mel[:1]
+    initial = np.asarray([[SOT]], np.int32)
+    beam = 5
+
+    result = decode_beam(
+        params, jnp.asarray(mel1), jnp.asarray(initial), jnp.int32(1),
+        jnp.int32(0), DIMS, CFG, BeamSearchMode(beam_size=beam, patience=1.0),
+        16, no_speech_id=502,
+    )
+    cands = np.asarray(result.candidates)
+    scores = np.asarray(result.scores)
+
+    ref = oracle_beam(params, mel1, 1, 16, beam)
+    ref_set = {tuple(k): v for k, v in ref[0].items()}
+    our_set = {}
+    for c in range(cands.shape[1]):
+        if scores[0, c] <= -1e8:
+            continue
+        row = list(cands[0, c])
+        end = row.index(EOT) + 1
+        our_set[tuple(row[:end])] = scores[0, c]
+    assert set(our_set) == set(ref_set)
+    for seq in ref_set:
+        np.testing.assert_allclose(our_set[seq], ref_set[seq], rtol=1e-3, atol=2e-3)

@@ -61,3 +61,47 @@ def test_quantized_decode_runs():
     c = np.asarray(out.candidates)
     assert c.shape == (2, 1, 448)
     assert (c[:, 0, 1] >= 600).all()  # forced initial timestamp still applies
+
+
+def test_quantized_cross_kv_close():
+    """int8 cross-KV: decode output tracks the fp path closely."""
+    params = init_params(jax.random.PRNGKey(4), DIMS)
+    cfg = FilterConfig(
+        n_vocab=1000,
+        token_id_eot=500,
+        token_id_space=7,
+        token_id_ts_begin=600,
+        token_id_no_timestamps=599,
+    )
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3
+    initial = np.asarray([[501]] * 2, np.int32)
+
+    ref = decode_greedy(
+        params, jnp.asarray(mel), jnp.asarray(initial), jnp.int32(1),
+        jnp.int32(0), DIMS, cfg, GreedyMode(), 6, no_speech_id=502,
+    )
+    q = decode_greedy(
+        params, jnp.asarray(mel), jnp.asarray(initial), jnp.int32(1),
+        jnp.int32(0), DIMS, cfg, GreedyMode(), 6, no_speech_id=502,
+        quantize_cross_kv=True,
+    )
+    # scores close; token trajectories may diverge after rounding but the
+    # first (forced-timestamp) token and EOT termination invariants hold
+    c = np.asarray(q.candidates)
+    assert (c[:, 0, 1] >= 600).all()
+    np.testing.assert_allclose(
+        np.asarray(q.scores), np.asarray(ref.scores), rtol=0.3, atol=1.0
+    )
+
+
+def test_quantize_kv_roundtrip_error():
+    from whisper_rs_tpu.models.whisper import _quantize_kv
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 4, 100, 64)).astype(np.float32))
+    q, s = _quantize_kv(x)
+    assert q.dtype == jnp.int8
+    recon = np.asarray(q, np.float32) * np.asarray(s)
+    err = np.abs(recon - np.asarray(x)) / np.abs(np.asarray(x)).max()
+    assert err.max() < 0.01  # int8 per-position: <1% of range

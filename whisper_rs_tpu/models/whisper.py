@@ -110,19 +110,31 @@ def _attend_grouped(
     k: jnp.ndarray,  # [A, H, Tk, dh] — shared by the G group members
     v: jnp.ndarray,  # [A, H, Tk, dh]
     group: int,
+    k_scale: Optional[jnp.ndarray] = None,  # [A, H, Tk, 1] (int8 K/V)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Cross-attention where G beams/samples per audio share one K/V.
 
     Beam search repeats each utterance group_size times along batch
     (decode/mod.rs:307-313); replicating the 1500-frame encoder K/V with it
     would multiply both HBM footprint and per-step read traffic by G, so the
-    K/V stays per-audio and the einsum carries the group axis."""
+    K/V stays per-audio and the einsum carries the group axis.  Handles the
+    group==1 case too (plain batch-shared K/V) and int8-quantized K/V with
+    per-position scales (k scale applied to the logits, v scale folded into
+    the softmax weights)."""
     AG, H, Tq, dh = q.shape
     A = k.shape[0]
     qg = q.reshape(A, AG // A, H, Tq, dh)
-    qk = jnp.einsum("aghqd,ahkd->aghqk", qg, k, preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("aghqk,ahkd->aghqd", w, v)
+    qk = jnp.einsum(
+        "aghqd,ahkd->aghqk", qg, k.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    if k_scale is not None:
+        qk = qk * k_scale[:, None, :, :, 0][:, :, :, None, :]
+    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1)
+    if v_scale is not None:
+        w = w * v_scale[:, None, :, :, 0][:, :, :, None, :]
+    w = w.astype(q.dtype)
+    out = jnp.einsum("aghqk,ahkd->aghqd", w, v.astype(q.dtype))
     return out.reshape(AG, H, Tq, dh)
 
 
@@ -275,13 +287,32 @@ class KVCache(NamedTuple):
 class CrossKV(NamedTuple):
     """Per-window cross-attention K/V computed once from encoder output
     (the reference's cache "threshold" reset trick, model.rs:84-90, made
-    explicit).  k, v: [L, B, H, n_audio_ctx, dh]."""
+    explicit).  k, v: [L, B, H, n_audio_ctx, dh].
+
+    When ``k_scale``/``v_scale`` are set, k/v are stored int8 with
+    per-position scales ([L, B, H, n_audio_ctx, 1]) — the cross-K/V stream
+    dominates per-step decode HBM traffic at production batch sizes, and
+    int8 halves it.  The K scale folds into the attention logits
+    (``(q·k_q[pos]) * s_k[pos]``); the V scale folds into the softmax
+    weights before the value matmul."""
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
 
-def precompute_cross_kv(params: dict, xa: jnp.ndarray, dims: ModelDims) -> CrossKV:
+def _quantize_kv(x: jnp.ndarray):
+    """[..., dh] -> (int8 values, per-position f32 scale [..., 1])."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True), 1e-8)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def precompute_cross_kv(
+    params: dict, xa: jnp.ndarray, dims: ModelDims, *, quantize: bool = False
+) -> CrossKV:
     """xa: [B, 1500, D] -> stacked K/V projections for every decoder layer."""
     n_head = dims.n_text_head
 
@@ -292,7 +323,11 @@ def precompute_cross_kv(params: dict, xa: jnp.ndarray, dims: ModelDims) -> Cross
         return k, v
 
     k, v = jax.vmap(per_layer)(params["decoder"]["blocks"])
-    return CrossKV(k, v)
+    if not quantize:
+        return CrossKV(k, v)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    return CrossKV(kq, vq, ks, vs)
 
 
 def decoder_forward(
@@ -366,9 +401,15 @@ def decoder_forward(
     # stream through xs as before.
     n_ctx = dims.n_text_ctx
 
+    quantized_kv = cross_kv.k_scale is not None
+
     def block(carry, layer_in):
         x, k_all, v_all = carry
-        bp, ck, cv, l = layer_in
+        if quantized_kv:
+            bp, ck, cv, ck_s, cv_s, l = layer_in
+        else:
+            bp, ck, cv, l = layer_in
+            ck_s = cv_s = None
 
         # -- self-attention over the static cache --------------------------
         h = layer_norm(x, bp["attn_ln"])
@@ -391,12 +432,7 @@ def decoder_forward(
         # -- cross-attention against precomputed encoder K/V ---------------
         h = layer_norm(x, bp["cross_attn_ln"])
         qx = _split_heads(linear(h, bp["cross_attn"]["query"]), n_head) * scale
-        if cross_group > 1:
-            attn = _attend_grouped(
-                qx, ck.astype(x.dtype), cv.astype(x.dtype), cross_group
-            )
-        else:
-            attn = _attend(qx, ck.astype(x.dtype), cv.astype(x.dtype), None)
+        attn = _attend_grouped(qx, ck, cv, cross_group, ck_s, cv_s)
         x = x + linear(_merge_heads(attn), bp["cross_attn"]["out"])
 
         # -- MLP ------------------------------------------------------------
@@ -404,16 +440,11 @@ def decoder_forward(
         x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
         return (x, k_all, v_all), None
 
-    (x, new_k, new_v), _ = lax.scan(
-        block,
-        (x, cache.k, cache.v),
-        (
-            dec["blocks"],
-            cross_kv.k,
-            cross_kv.v,
-            jnp.arange(dims.n_text_layer),
-        ),
-    )
+    layer_xs = (dec["blocks"], cross_kv.k, cross_kv.v)
+    if quantized_kv:
+        layer_xs = layer_xs + (cross_kv.k_scale, cross_kv.v_scale)
+    layer_xs = layer_xs + (jnp.arange(dims.n_text_layer),)
+    (x, new_k, new_v), _ = lax.scan(block, (x, cache.k, cache.v), layer_xs)
 
     if logit_positions is not None:
         x = jnp.take(x, logit_positions, axis=1)
