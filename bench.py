@@ -92,7 +92,7 @@ def main():
             steps,
             no_speech_id=50361,
             compute_dtype=dtype,
-            quantize_cross_kv=quantize_kv,
+            quantize_kv=quantize_kv,
         )
 
     # distinct input buffers per iteration (identical repeats can be

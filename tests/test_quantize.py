@@ -64,7 +64,7 @@ def test_quantized_decode_runs():
 
 
 def test_quantized_cross_kv_close():
-    """int8 cross-KV: decode output tracks the fp path closely."""
+    """int8 KV (cross + self): decode output tracks the fp path closely."""
     params = init_params(jax.random.PRNGKey(4), DIMS)
     cfg = FilterConfig(
         n_vocab=1000,
@@ -84,7 +84,7 @@ def test_quantized_cross_kv_close():
     q = decode_greedy(
         params, jnp.asarray(mel), jnp.asarray(initial), jnp.int32(1),
         jnp.int32(0), DIMS, cfg, GreedyMode(), 6, no_speech_id=502,
-        quantize_cross_kv=True,
+        quantize_kv=True,
     )
     # scores close; token trajectories may diverge after rounding but the
     # first (forced-timestamp) token and EOT termination invariants hold

@@ -72,7 +72,7 @@ def _encode_and_prefill(
     no_speech_id: int,
     compute_dtype,
     key_start=None,  # [n_audio] i32: first valid prompt slot per row (or None)
-    quantize_cross_kv: bool = False,
+    quantize_kv: bool = False,
 ):
     """Encoder forward, group repeat, prefill pass.
 
@@ -95,8 +95,8 @@ def _encode_and_prefill(
             key_start = jnp.repeat(key_start, group_size, axis=0)
     B = n_audio * group_size
 
-    cross_kv = precompute_cross_kv(params, xa, dims, quantize=quantize_cross_kv)
-    cache = KVCache.init(dims, B, dtype=xa.dtype)
+    cross_kv = precompute_cross_kv(params, xa, dims, quantize=quantize_kv)
+    cache = KVCache.init(dims, B, dtype=xa.dtype, quantize=quantize_kv)
 
     # only two prefill rows ever have their logits read: the SOT row (for
     # no_speech_prob, decode/mod.rs:250-255) and the last prompt row (the
@@ -212,7 +212,7 @@ def decode_greedy(
     compute_dtype=jnp.float32,
     key_start=None,
     rng_key=None,
-    quantize_cross_kv: bool = False,
+    quantize_kv: bool = False,
 ) -> DecodeResult:
     eot = cfg.token_id_eot
     n_ctx = dims.n_text_ctx
@@ -223,7 +223,7 @@ def decode_greedy(
 
     (tokens, first_logits, cache, cross_kv, no_speech, feats, key_start) = _encode_and_prefill(
         params, mel, initial_tokens, sample_begin, sot_idx, group, dims, cfg,
-        no_speech_id, compute_dtype, key_start, quantize_cross_kv,
+        no_speech_id, compute_dtype, key_start, quantize_kv,
     )
     B = tokens.shape[0]
     n_audio = B // group
@@ -425,7 +425,7 @@ def decode_beam(
     compute_dtype=jnp.float32,
     key_start=None,
     rng_key=None,  # unused (beam search is deterministic); signature parity
-    quantize_cross_kv: bool = False,
+    quantize_kv: bool = False,
 ) -> DecodeResult:
     beam = mode.beam_size
     # max finished candidates per audio (beam_search.rs:122-124)
@@ -435,7 +435,7 @@ def decode_beam(
 
     (tokens, first_logits, cache, cross_kv, no_speech, feats, key_start) = _encode_and_prefill(
         params, mel, initial_tokens, sample_begin, sot_idx, beam, dims, cfg,
-        no_speech_id, compute_dtype, key_start, quantize_cross_kv,
+        no_speech_id, compute_dtype, key_start, quantize_kv,
     )
     B = tokens.shape[0]
     n_audio = B // beam

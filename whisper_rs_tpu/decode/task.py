@@ -50,7 +50,7 @@ class DecodeTask:
         options: DecodeOptions = DecodeOptions(),
         compute_dtype=jnp.float32,
         keep_audio_features: bool = False,
-        quantize_cross_kv: bool = False,
+        quantize_kv: bool = False,
     ):
         self.params = params
         self.dims = dims
@@ -58,7 +58,7 @@ class DecodeTask:
         self.options = options
         self.compute_dtype = compute_dtype
         self.keep_audio_features = keep_audio_features
-        self.quantize_cross_kv = quantize_cross_kv
+        self.quantize_kv = quantize_kv
 
         # filter assembly (decode/mod.rs:156-190)
         suppress: tuple = tuple(options.suppress_tokens or ())
@@ -111,7 +111,7 @@ class DecodeTask:
         eot = self.tokenizer.token_id_eot
         length_penalty = self.options.length_penalty
         compute_dtype = self.compute_dtype
-        quantize_cross_kv = self.quantize_cross_kv
+        quantize_kv = self.quantize_kv
 
         decode_fn = decode_greedy if isinstance(mode, GreedyMode) else decode_beam
 
@@ -129,7 +129,7 @@ class DecodeTask:
                 no_speech_id,
                 compute_dtype,
                 key_start=key_start,
-                quantize_cross_kv=quantize_cross_kv,
+                quantize_kv=quantize_kv,
             )
             selected, avg_logprob, lengths = rank_max_likelihood(
                 result, sample_begin, eot, length_penalty

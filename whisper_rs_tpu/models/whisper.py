@@ -97,12 +97,20 @@ def _attend(
     k: jnp.ndarray,  # [B, H, Tk, dh]
     v: jnp.ndarray,  # [B, H, Tk, dh]
     mask: Optional[jnp.ndarray],  # broadcastable to [B, H, Tq, Tk], additive
+    k_scale: Optional[jnp.ndarray] = None,  # [B, H, Tk, 1] (int8 K/V mode)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    qk = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    qk = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    if k_scale is not None:
+        qk = qk * k_scale[:, :, :, 0][:, :, None, :]
     if mask is not None:
         qk = qk + mask
-    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1)
+    if v_scale is not None:
+        w = w * v_scale[:, :, :, 0][:, :, None, :]
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), v.astype(q.dtype))
 
 
 def _attend_grouped(
@@ -241,13 +249,25 @@ class KVCache(NamedTuple):
     k, v: [L, B, H, n_text_ctx, dh].  Replaces the reference's concat-grow
     ``Cached`` cells (model.rs:77-98).  Beam reorder = gather along B
     (model.rs:53-62 ``update_cache``).
+
+    Optional int8 mode (``KVCache.init(..., quantize=True)``): k/v stored
+    int8 with per-position scales ([L, B, H, n_text_ctx, 1]) — halves both
+    the per-step attention reads and the beam-reorder gather stream.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @staticmethod
-    def init(dims: ModelDims, batch: int, dtype=jnp.float32) -> "KVCache":
+    def init(
+        dims: ModelDims, batch: int, dtype=jnp.float32, quantize: bool = False
+    ) -> "KVCache":
         shape = (
             dims.n_text_layer,
             batch,
@@ -255,7 +275,15 @@ class KVCache(NamedTuple):
             dims.n_text_ctx,
             dims.head_dim,
         )
-        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        if not quantize:
+            return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        sshape = shape[:-1] + (1,)
+        return KVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.ones(sshape, jnp.float32),
+            jnp.ones(sshape, jnp.float32),
+        )
 
     def reorder(self, source_indices: jnp.ndarray, window: Optional[int] = None) -> "KVCache":
         """Beam-search cache permutation along the batch axis.
@@ -271,16 +299,18 @@ class KVCache(NamedTuple):
         stream of beam search, so the decode loop phases the window up
         (e.g. 256 -> n_ctx) as the position grows.
         """
-        if window is None or window >= self.k.shape[3]:
-            return KVCache(
-                jnp.take(self.k, source_indices, axis=1),
-                jnp.take(self.v, source_indices, axis=1),
-            )
-        kw = jnp.take(self.k[:, :, :, :window], source_indices, axis=1)
-        vw = jnp.take(self.v[:, :, :, :window], source_indices, axis=1)
+
+        def gather(buf):
+            if buf is None:
+                return None
+            if window is None or window >= buf.shape[3]:
+                return jnp.take(buf, source_indices, axis=1)
+            w = jnp.take(buf[:, :, :, :window], source_indices, axis=1)
+            return lax.dynamic_update_slice(buf, w, (0, 0, 0, 0, 0))
+
         return KVCache(
-            lax.dynamic_update_slice(self.k, kw, (0, 0, 0, 0, 0)),
-            lax.dynamic_update_slice(self.v, vw, (0, 0, 0, 0, 0)),
+            gather(self.k), gather(self.v),
+            gather(self.k_scale), gather(self.v_scale),
         )
 
 
@@ -389,10 +419,11 @@ def decoder_forward(
         pos = lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T, axis=0)
         self_mask = jnp.where(visible, 0.0, neg)[None, None]  # [1, 1, T, n_ctx]
 
-    emb = tok_emb[tokens].astype(cache.k.dtype)
+    x_dtype = dec["pos_emb"].dtype  # compute dtype (cache may be int8)
+    emb = tok_emb[tokens].astype(x_dtype)
     if "token_emb_scale" in dec:  # int8-quantized embedding (quantize.py)
-        emb = emb * dec["token_emb_scale"][tokens][..., None].astype(cache.k.dtype)
-    x = emb + pos.astype(cache.k.dtype)
+        emb = emb * dec["token_emb_scale"][tokens][..., None].astype(x_dtype)
+    x = emb + pos.astype(x_dtype)
 
     # The full stacked cache rides the scan CARRY (not ys): ys would
     # materialize a fresh [L, B, H, n_ctx, dh] copy every decode step, while
@@ -401,11 +432,16 @@ def decoder_forward(
     # stream through xs as before.
     n_ctx = dims.n_text_ctx
 
-    quantized_kv = cross_kv.k_scale is not None
+    quantized_cross = cross_kv.k_scale is not None
+    quantized_self = cache.quantized
 
     def block(carry, layer_in):
-        x, k_all, v_all = carry
-        if quantized_kv:
+        if quantized_self:
+            x, k_all, v_all, ks_all, vs_all = carry
+        else:
+            x, k_all, v_all = carry
+            ks_all = vs_all = None
+        if quantized_cross:
             bp, ck, cv, ck_s, cv_s, l = layer_in
         else:
             bp, ck, cv, l = layer_in
@@ -416,17 +452,35 @@ def decoder_forward(
         q = _split_heads(linear(h, bp["attn"]["query"]), n_head) * scale
         k_new = _split_heads(linear(h, bp["attn"]["key"]), n_head)
         v_new = _split_heads(linear(h, bp["attn"]["value"]), n_head)
+        if quantized_self:
+            k_new, k_new_s = _quantize_kv(k_new)
+            v_new, v_new_s = _quantize_kv(v_new)
+            ks_all = lax.dynamic_update_slice(
+                ks_all, k_new_s[None], (l, 0, 0, pos_offset, 0)
+            )
+            vs_all = lax.dynamic_update_slice(
+                vs_all, v_new_s[None], (l, 0, 0, pos_offset, 0)
+            )
         k_all = lax.dynamic_update_slice(
             k_all, k_new[None], (l, 0, 0, pos_offset, 0)
         )  # [L, B, H, n_ctx, dh]
         v_all = lax.dynamic_update_slice(v_all, v_new[None], (l, 0, 0, pos_offset, 0))
-        cache_k = lax.dynamic_slice(
-            k_all, (l, 0, 0, 0, 0), (1, B, n_head, W, d_head)
-        )[0]
-        cache_v = lax.dynamic_slice(
-            v_all, (l, 0, 0, 0, 0), (1, B, n_head, W, d_head)
-        )[0]
-        attn = _attend(q, cache_k, cache_v, self_mask)
+
+        def layer_slice(buf, last):
+            if buf is None:
+                return None
+            return lax.dynamic_slice(
+                buf, (l, 0, 0, 0, 0), (1, B, n_head, W, last)
+            )[0]
+
+        attn = _attend(
+            q,
+            layer_slice(k_all, d_head),
+            layer_slice(v_all, d_head),
+            self_mask,
+            layer_slice(ks_all, 1),
+            layer_slice(vs_all, 1),
+        )
         x = x + linear(_merge_heads(attn), bp["attn"]["out"])
 
         # -- cross-attention against precomputed encoder K/V ---------------
@@ -438,13 +492,20 @@ def decoder_forward(
         # -- MLP ------------------------------------------------------------
         h = layer_norm(x, bp["mlp_ln"])
         x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
+        if quantized_self:
+            return (x, k_all, v_all, ks_all, vs_all), None
         return (x, k_all, v_all), None
 
     layer_xs = (dec["blocks"], cross_kv.k, cross_kv.v)
-    if quantized_kv:
+    if quantized_cross:
         layer_xs = layer_xs + (cross_kv.k_scale, cross_kv.v_scale)
     layer_xs = layer_xs + (jnp.arange(dims.n_text_layer),)
-    (x, new_k, new_v), _ = lax.scan(block, (x, cache.k, cache.v), layer_xs)
+    if quantized_self:
+        carry0 = (x, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(block, carry0, layer_xs)
+    else:
+        (x, new_k, new_v), _ = lax.scan(block, (x, cache.k, cache.v), layer_xs)
+        new_ks = new_vs = None
 
     if logit_positions is not None:
         x = jnp.take(x, logit_positions, axis=1)
@@ -457,7 +518,7 @@ def decoder_forward(
     )
     if "token_emb_scale" in dec:
         logits = logits * dec["token_emb_scale"].astype(logits_dtype)[None, None, :]
-    return logits, KVCache(new_k, new_v)
+    return logits, KVCache(new_k, new_v, new_ks, new_vs)
 
 
 def model_forward(
