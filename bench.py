@@ -10,7 +10,7 @@ wall-clock second; 1.0 = real time).  The reference publishes no benchmark
 numbers at all (BASELINE.md), so real-time rate is the meaningful anchor.
 
 Env knobs:
-  BENCH_MODEL  (default base.en)   BENCH_BATCH (default 8)
+  BENCH_MODEL  (default base.en)   BENCH_BATCH (default 32)
   BENCH_MODE   greedy|beam (default greedy)   BENCH_BEAM (default 5)
   BENCH_STEPS  decode steps (default: full sample_len 224)
   BENCH_ITERS  timed iterations (default 3)
