@@ -192,3 +192,44 @@ def test_ranker_greedy():
     assert int(sel[0]) == 0
     assert int(lengths[0, 0]) == 4
     np.testing.assert_allclose(float(avg_lp[0]), -2.0 / 5.0, rtol=1e-6)
+
+
+def test_no_speech_prob_matches_full_prefill(setup):
+    """no_speech_prob must equal softmax(logits at the SOT row)[nospeech]
+    from a plain full-prompt forward (decode/mod.rs:250-255)."""
+    params, mel = setup
+    initial = np.asarray([[SOT]] * 2, np.int32)
+    result = decode_greedy(
+        params, jnp.asarray(mel), jnp.asarray(initial), jnp.int32(1),
+        jnp.int32(0), DIMS, CFG, GreedyMode(), 2, no_speech_id=502,
+    )
+
+    xa = encoder_forward(params, jnp.asarray(mel), DIMS)
+    cross_kv = precompute_cross_kv(params, xa, DIMS)
+    logits, _ = decoder_forward(
+        params, jnp.asarray(initial), jnp.int32(0), cross_kv,
+        KVCache.init(DIMS, 2), DIMS,
+    )
+    expect = jax.nn.softmax(logits[:, 0].astype(jnp.float32), axis=-1)[:, 502]
+    np.testing.assert_allclose(
+        np.asarray(result.no_speech_probs), np.asarray(expect), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_avg_logprob_formula(setup):
+    """avg_logprob = cum_logprob / (sampled_len + 1) (decode/mod.rs:389-397),
+    checked through the full DecodeResult -> ranker path."""
+    from whisper_rs_tpu.decode.ranker import rank_max_likelihood
+
+    params, mel = setup
+    initial = np.asarray([[SOT]] * 2, np.int32)
+    result = decode_greedy(
+        params, jnp.asarray(mel), jnp.asarray(initial), jnp.int32(1),
+        jnp.int32(0), DIMS, CFG, GreedyMode(), 8, no_speech_id=502,
+    )
+    sel, avg_lp, lengths = rank_max_likelihood(result, jnp.int32(1), EOT, None)
+    scores = np.asarray(result.scores)
+    for i in range(2):
+        s = int(np.asarray(sel)[i])
+        want = scores[i, s] / (int(np.asarray(lengths)[i, s]) + 1.0)
+        np.testing.assert_allclose(float(np.asarray(avg_lp)[i]), want, rtol=1e-5)
