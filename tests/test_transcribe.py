@@ -141,3 +141,17 @@ def test_initial_prompt_text():
     # encoded prompt [9, 8] prepended to output token stream
     assert list(out.tokens[:2]) == [9, 8]
     assert task.decode_task.prompts[0] == [9, 8]
+
+
+def test_zero_advance_guard():
+    """A degenerate <|0.00|><|0.00|> pair must not stall the seek loop
+    (full-window fallback instead of a 0-frame advance)."""
+    w1 = [TS + 0, TS + 0]  # consecutive pair at timestamp 0.00
+    w2 = [TS + 0, 44, TS + 30]
+    task = make_task([w1, w2])
+    mel = np.zeros((80, N_FRAMES + 50), np.float32)
+    out = task.run(None, mel=mel)
+    # window 1 consumed via full-window advance; window 2 processed; done
+    assert len(task.decode_task.outputs) == 0
+    assert out.segments[0].seek == 0
+    assert out.segments[-1].seek == N_FRAMES

@@ -136,7 +136,13 @@ def process_window_result(
             last_slice = int(current_slice)
 
         last_ts = int(segment_tokens[last_slice - 1]) - ts_begin
-        seek += last_ts * input_stride
+        if last_ts <= 0:
+            # degenerate <|0.00|><|0.00|> pair would advance the seek by 0
+            # frames and loop forever (the reference shares this hazard,
+            # transcribe.rs:205-206); fall back to a full-window advance
+            seek += N_FRAMES
+        else:
+            seek += last_ts * input_stride
         tokens.extend(int(t) for t in segment_tokens[: last_slice + 1])
     else:
         segment_duration = 30.0
