@@ -155,3 +155,13 @@ def test_zero_advance_guard():
     assert len(task.decode_task.outputs) == 0
     assert out.segments[0].seek == 0
     assert out.segments[-1].seek == N_FRAMES
+
+
+def test_sub_frame_audio_yields_empty_output():
+    """Audio shorter than one hop (160 samples) has zero mel frames: the
+    seek loop never runs and the output is empty rather than crashing."""
+    task = make_task([])
+    out = task.run(np.zeros(100, np.float32))
+    assert len(out.segments) == 0
+    assert out.text == ""
+    assert out.tokens.size == 0
