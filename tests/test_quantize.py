@@ -105,3 +105,41 @@ def test_quantize_kv_roundtrip_error():
     recon = np.asarray(q, np.float32) * np.asarray(s)
     err = np.abs(recon - np.asarray(x)) / np.abs(np.asarray(x)).max()
     assert err.max() < 0.01  # int8 per-position: <1% of range
+
+
+def test_quantized_sharded_compose():
+    """int8 weights + int8 KV + TP=2/DP=4 sharding compose: decode runs on
+    the fake mesh and matches the unsharded quantized decode exactly."""
+    import jax
+    from whisper_rs_tpu.parallel import batch_sharding, make_mesh, shard_params
+
+    params = quantize_params(init_params(jax.random.PRNGKey(8), DIMS))
+    cfg = FilterConfig(
+        n_vocab=1000,
+        token_id_eot=500,
+        token_id_space=7,
+        token_id_ts_begin=600,
+        token_id_no_timestamps=599,
+    )
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((4, 80, 3000)).astype(np.float32) * 0.3
+    initial = np.asarray([[501]] * 4, np.int32)
+
+    def run(p, m, t):
+        return decode_greedy(
+            p, m, t, jnp.int32(1), jnp.int32(0), DIMS, cfg, GreedyMode(), 5,
+            no_speech_id=502, quantize_kv=True,
+        )
+
+    single = run(params, jnp.asarray(mel), jnp.asarray(initial))
+
+    mesh = make_mesh(n_model=2)
+    with jax.set_mesh(mesh):
+        sp = shard_params(mesh, params)
+        mel_s = jax.device_put(jnp.asarray(mel), batch_sharding(mesh, 3))
+        init_s = jax.device_put(jnp.asarray(initial), batch_sharding(mesh, 2))
+        sharded = jax.jit(run)(sp, mel_s, init_s)
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded.candidates), np.asarray(single.candidates)
+    )
