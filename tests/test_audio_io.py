@@ -80,3 +80,17 @@ def test_native_16k_passthrough(tmp_path):
     write_wav(p, audio)
     out = native.load_audio(str(p))
     np.testing.assert_allclose(out, audio, atol=1e-3)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_resample_rates():
+    """Windowed-sinc resampler across common rates: tone survives, length
+    scales correctly."""
+    for sr in (8000, 22050, 48000):
+        audio = _sine(sr, 0.4)
+        out = native.resample(audio, sr, 16000)
+        expect_len = int(len(audio) * 16000 / sr)
+        assert abs(len(out) - expect_len) <= 2
+        ideal = _sine(16000, len(out) / 16000)[: len(out)]
+        err = np.abs(out[300:-300] - ideal[300 : len(out) - 300]).max()
+        assert err < 0.03, f"sr={sr}: err={err}"
