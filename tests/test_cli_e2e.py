@@ -122,3 +122,17 @@ def test_cli_beam_and_quant(checkpoint, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     payload = json.loads(out)
     assert "text" in payload and payload["segments"]
+
+
+def test_cli_srt_format(checkpoint, tmp_path, capsys):
+    from whisper_rs_tpu.audio.io import write_wav
+    from whisper_rs_tpu.cli import main
+
+    rng = np.random.default_rng(2)
+    wav = tmp_path / "s.wav"
+    write_wav(wav, (rng.standard_normal(16000) * 0.1).astype(np.float32))
+    rc = main([str(wav), "--checkpoint", checkpoint, "--greedy",
+               "--sample-len", "4", "--dtype", "float32", "--format", "srt"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1\n00:00:00,000 -->" in out

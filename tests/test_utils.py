@@ -29,3 +29,20 @@ def test_cli_parser_defaults():
     assert args.max_initial_timestamp == 1.0
     assert not args.greedy
     assert args.dtype == "bfloat16"
+
+
+def test_subtitle_formats():
+    from whisper_rs_tpu.transcribe import TranscribeSegment
+    from whisper_rs_tpu.utils import to_srt, to_text, to_vtt
+
+    segs = [
+        TranscribeSegment(0, 0.0, 2.5, 0, 3, " hello there"),
+        TranscribeSegment(0, 2.5, 3661.25, 3, 6, " big jump"),
+    ]
+    srt = to_srt(segs)
+    assert "1\n00:00:00,000 --> 00:00:02,500\nhello there" in srt
+    assert "01:01:01,250" in srt  # 3661.25s rolls into hours
+    vtt = to_vtt(segs)
+    assert vtt.startswith("WEBVTT")
+    assert "00:00:00.000 --> 00:00:02.500" in vtt
+    assert to_text(segs) == "hello there\nbig jump"

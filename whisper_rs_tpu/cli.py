@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel chips")
     p.add_argument("--json", action="store_true", help="emit JSON output")
+    p.add_argument(
+        "--format", default=None, choices=["srt", "vtt", "txt"],
+        help="subtitle/transcript output format (overrides default listing)",
+    )
     return p
 
 
@@ -108,7 +112,12 @@ def main(argv=None) -> int:
         secs = len(audio) / 16000.0
         with step_timer(f"transcribe {path}", audio_seconds=secs):
             out = task.run(audio)
-        if args.json:
+        if args.format:
+            from .utils.formats import to_srt, to_text, to_vtt
+
+            fmt = {"srt": to_srt, "vtt": to_vtt, "txt": to_text}[args.format]
+            print(fmt(out.segments))
+        elif args.json:
             print(
                 json.dumps(
                     {

@@ -1,4 +1,5 @@
 from .csvio import read_csv_2d, write_csv_2d
+from .formats import to_srt, to_text, to_vtt
 from .debug import (
     log,
     profiler_trace,
@@ -19,6 +20,9 @@ __all__ = [
     "step_timer",
     "stop_profiler",
     "tensor_dbg",
+    "to_srt",
+    "to_text",
+    "to_vtt",
     "wer",
     "write_csv_2d",
 ]
