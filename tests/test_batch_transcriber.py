@@ -116,3 +116,22 @@ def test_error_isolation(setup):
 
     with _pytest.raises(Boom):
         batch.run([audios[1], bad])
+
+
+def test_decode_task_warmup(setup):
+    """AOT warmup precompiles window executables; subsequent run_batch
+    reuses them (no new cache entries)."""
+    from whisper_rs_tpu.config import DecodeOptions, GreedyMode
+    from whisper_rs_tpu.decode import DecodeTask
+
+    params, _ = setup
+    dt = DecodeTask(
+        params, DIMS, SmallTokenizer(),
+        DecodeOptions(mode=GreedyMode(), sample_len=4),
+    )
+    dt.warmup(batch_sizes=(2,))
+    n = len(dt._compiled)
+    assert n == 2  # no-prompt + max-prompt buckets
+    mel = np.zeros((2, 80, 3000), np.float32)
+    dt.run_batch(mel, [None, None])
+    assert len(dt._compiled) == n  # cache hit, nothing new compiled

@@ -140,6 +140,32 @@ class DecodeTask:
         self._compiled[key] = fn
         return fn
 
+    def warmup(self, batch_sizes=(1,), with_prompts: bool = True) -> None:
+        """AOT-precompile the window executables for the given batch sizes
+        (serving: avoids first-request compile latency).  Compiles the
+        no-prompt bucket and, with ``with_prompts``, the largest prompt
+        bucket (the two shapes long-audio transcription alternates
+        between)."""
+        from .prompt import PREFILL_BUCKETS
+
+        buckets = [PREFILL_BUCKETS[0]]
+        if with_prompts:
+            buckets.append(PREFILL_BUCKETS[-1])
+        s32 = jax.ShapeDtypeStruct((), jnp.int32)
+        for n_audio in batch_sizes:
+            for b in buckets:
+                fn = self._window_fn(n_audio, b, with_key_start=True)
+                fn.lower(
+                    self.params,
+                    jax.ShapeDtypeStruct(
+                        (n_audio, self.dims.n_mels, 3000), self.compute_dtype
+                    ),
+                    jax.ShapeDtypeStruct((n_audio, b), jnp.int32),
+                    s32,
+                    s32,
+                    jax.ShapeDtypeStruct((n_audio,), jnp.int32),
+                ).compile()
+
     # -- run ---------------------------------------------------------------
 
     def run(self, mel) -> List[DecodeOutput]:
