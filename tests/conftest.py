@@ -24,7 +24,9 @@ import pathlib
 import numpy as np
 import pytest
 
-REFERENCE_DATA = pathlib.Path("/root/reference/test/data")
+# Golden CSVs the reference ships in-tree (test/data/), vendored into this
+# repo so the suite runs with /root/reference unmounted.
+REFERENCE_DATA = pathlib.Path(__file__).parent / "data"
 
 
 @pytest.fixture(scope="session")

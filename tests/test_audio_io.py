@@ -94,3 +94,45 @@ def test_native_resample_rates():
         ideal = _sine(16000, len(out) / 16000)[: len(out)]
         err = np.abs(out[300:-300] - ideal[300 : len(out) - 300]).max()
         assert err < 0.03, f"sr={sr}: err={err}"
+
+
+def _write_extensible_wav(path, audio, sub_format):
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) writer: 40-byte fmt chunk with
+    the SubFormat GUID; 32-bit int PCM (sub_format=1) or float (=3)."""
+    import struct
+
+    if sub_format == 1:
+        pcm = (np.clip(audio, -1, 1) * 2147483647.0).astype("<i4").tobytes()
+    else:
+        pcm = audio.astype("<f4").tobytes()
+    guid_tail = bytes.fromhex("000000001000800000aa00389b71")
+    # fmt body: 18-byte base (incl cbSize=22) + 2 valid bits + 4 mask + 16 GUID
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 16000 * 4, 4, 32)
+        + struct.pack("<H", 22)          # cbSize
+        + struct.pack("<H", 32)          # valid bits
+        + struct.pack("<I", 0)           # channel mask
+        + struct.pack("<I", sub_format) + guid_tail  # SubFormat GUID
+    )
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    pathlib = __import__("pathlib")
+    pathlib.Path(path).write_bytes(hdr + pcm)
+
+
+def test_extensible_wav_subformat_guid(tmp_path):
+    """0xFFFE files must be decoded per the SubFormat GUID, not guessed
+    from bit depth — 32-bit int PCM and 32-bit float both exist (round-1
+    advisor finding: the two paths guessed oppositely for 32-bit)."""
+    audio = _sine(16000, 0.3)
+    for sub, name in ((1, "int32"), (3, "float32")):
+        p = tmp_path / f"ext_{name}.wav"
+        _write_extensible_wav(p, audio, sub)
+        out_py = load_audio(p, use_native=False)
+        np.testing.assert_allclose(out_py, audio, atol=1e-4,
+                                   err_msg=f"python path, {name}")
+        if native.available():
+            out_nat = native.load_audio(str(p))
+            np.testing.assert_allclose(out_nat, audio, atol=1e-4,
+                                       err_msg=f"native path, {name}")

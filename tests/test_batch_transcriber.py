@@ -135,3 +135,27 @@ def test_decode_task_warmup(setup):
     mel = np.zeros((2, 80, 3000), np.float32)
     dt.run_batch(mel, [None, None])
     assert len(dt._compiled) == n  # cache hit, nothing new compiled
+
+
+def test_batch_padded_to_static_size(setup):
+    """Every run_batch call must see exactly batch_size rows — as utterances
+    retire the batch is padded with repeats so the decode graph never
+    recompiles (round-1 advisor finding: the padding loop was dead code)."""
+    params, audios = setup
+    tok = SmallTokenizer()
+    batch = BatchTranscriber(params, DIMS, tok, OPTS, batch_size=2)
+
+    seen_shapes = []
+    orig = batch.decode_task.run_batch
+
+    def spy(mel, prompts):
+        seen_shapes.append((np.asarray(mel).shape[0], len(prompts)))
+        return orig(mel, prompts)
+
+    batch.decode_task.run_batch = spy
+    # 35s and 20s utterances: the 20s one retires after window 1, leaving a
+    # single active utterance for the 35s one's second window
+    outs = batch.run(audios)
+    assert outs[0].text and outs[1].text
+    assert len(seen_shapes) >= 2
+    assert all(s == (2, 2) for s in seen_shapes), seen_shapes

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    not pathlib.Path("/root/reference/tokenizer/gpt2.json").exists(),
+    not (pathlib.Path(__file__).parents[1] / "assets" / "gpt2.json").exists(),
     reason="gpt2.json fixture unavailable",
 )
 

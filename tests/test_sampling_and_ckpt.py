@@ -182,3 +182,31 @@ def test_temperature_ladder_retries(monkeypatch):
     out = task.run(None, mel=mel)
     assert calls == [0.0, 0.4]  # retried once
     assert out.avg_logprobs == [-0.2]
+
+
+def test_checkpoint_preserves_int8(tmp_path):
+    """Quantized checkpoints must round-trip int8 leaves as int8 — casting
+    them to the float target dtype would silently quadruple the weight
+    footprint (round-1 advisor finding)."""
+    import jax.numpy as jnp
+
+    from whisper_rs_tpu.models import init_params
+    from whisper_rs_tpu.models.quantize import quantize_params
+
+    params = init_params(jax.random.PRNGKey(3), DIMS)
+    qparams = quantize_params(params)
+    p = tmp_path / "q.npz"
+    save_params(str(p), qparams, DIMS)
+    loaded, _ = load_params(str(p), dtype=jnp.bfloat16)
+
+    flat_orig = jax.tree_util.tree_flatten_with_path(qparams)[0]
+    flat_load = jax.tree_util.tree_flatten_with_path(loaded)[0]
+    n_int8 = 0
+    for (path_o, leaf_o), (path_l, leaf_l) in zip(flat_orig, flat_load):
+        assert path_o == path_l
+        if leaf_o.dtype == jnp.int8:
+            assert leaf_l.dtype == jnp.int8, path_l
+            n_int8 += 1
+        elif jnp.issubdtype(leaf_o.dtype, jnp.floating):
+            assert leaf_l.dtype == jnp.bfloat16, path_l
+    assert n_int8 > 0

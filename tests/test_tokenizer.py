@@ -6,7 +6,7 @@ import pathlib
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    not pathlib.Path("/root/reference/tokenizer/gpt2.json").exists(),
+    not (pathlib.Path(__file__).parents[1] / "assets" / "gpt2.json").exists(),
     reason="gpt2.json fixture unavailable",
 )
 
@@ -105,3 +105,35 @@ def test_multilingual_sot_sequence(tok, monkeypatch):
     tok4 = Tokenizer(Task.TRANSCRIBE, language="xx")
     with _pytest.raises(ValueError):
         tok4.sequence_sot()
+
+
+def test_large_v3_100_language_layout():
+    """large-v3 family (n_vocab 51866) has 100 language tokens (<|yue|>);
+    every special after the language block shifts by one vs the 99-language
+    checkpoints.  Regression for the round-1 advisor finding."""
+    from whisper_rs_tpu.config import dims_for
+    from whisper_rs_tpu.tokenize.languages import num_languages_for_vocab
+
+    assert num_languages_for_vocab(51864) == 99
+    assert num_languages_for_vocab(51865) == 99
+    assert num_languages_for_vocab(51866) == 100
+
+    tok = Tokenizer.for_dims(dims_for("large-v3"))
+    assert tok.num_languages == 100
+    assert tok.language_codes[-1] == "yue"
+    assert tok._tk.token_to_id("<|yue|>") == 50257 + 100
+    # OpenAI large-v3 canonical IDs
+    assert tok.token_id_sot == 50258 - 1  # gpt2 en vocab base in this fixture
+    base = tok.token_id_sot
+    assert tok.token_id_translate == base + 101
+    assert tok.token_id_transcribe == base + 102
+    assert tok.token_id_startoflm == base + 103
+    assert tok.token_id_startofprev == base + 104
+    assert tok.token_id_no_speech == base + 105
+    assert tok.token_id_no_timestamps == base + 106
+    assert tok.token_id_ts_begin == base + 107
+
+    # 99-language models keep the old layout
+    tok99 = Tokenizer.for_dims(dims_for("base.en"))
+    assert tok99.num_languages == 99
+    assert tok99.token_id_transcribe == tok99.token_id_sot + 101

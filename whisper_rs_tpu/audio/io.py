@@ -31,12 +31,18 @@ def _parse_wav(data: bytes) -> Tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     samples = None
+    sub_format = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if len(body) >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: SubFormat GUID at fmt offset 24
+                # (2B valid-bits + 4B channel mask precede it); data1 of
+                # KSDATAFORMAT_SUBTYPE_PCM is 1, _IEEE_FLOAT is 3
+                (sub_format,) = struct.unpack_from("<I", body, 24)
         elif cid == b"data":
             samples = body
         pos += 8 + size + (size & 1)
@@ -44,8 +50,12 @@ def _parse_wav(data: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
 
     audio_fmt, n_ch, sr, _brate, _align, bits = fmt
-    if audio_fmt == 0xFFFE and len(samples) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_fmt = 1 if bits in (8, 16, 24, 32) else 3
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        if sub_format not in (1, 3):
+            raise ValueError(
+                f"unsupported WAVE_FORMAT_EXTENSIBLE SubFormat {sub_format}"
+            )
+        audio_fmt = sub_format
 
     if audio_fmt == 1:  # PCM
         if bits == 16:

@@ -76,7 +76,8 @@ def main(argv=None) -> int:
         params = shard_params(mesh, params)
         log.info("sharded params over mesh %s", mesh)
 
-    tokenizer = Tokenizer(
+    tokenizer = Tokenizer.for_dims(
+        dims,
         Task.TRANSLATE if args.task == "translate" else Task.TRANSCRIBE,
         tokenizer_json=args.tokenizer,
         language=args.language,

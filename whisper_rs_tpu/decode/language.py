@@ -10,6 +10,7 @@ model never saw; callers should check ``tokenizer.is_multilingual``).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List
 
 import jax
@@ -23,7 +24,7 @@ from ..models.whisper import (
     encoder_forward,
     precompute_cross_kv,
 )
-from ..tokenize.languages import LANGUAGE_CODES
+from ..tokenize.languages import LANGUAGE_CODES  # noqa: F401 (re-export)
 
 
 def detect_language_logits(
@@ -50,21 +51,27 @@ def detect_language(
     mel = jnp.asarray(mel)
     if mel.ndim == 2:
         mel = mel[None]
+    # Language-ID range derives from the tokenizer's own table (99 or 100
+    # codes depending on checkpoint family) — not a global constant.
+    codes = getattr(tokenizer, "language_codes", LANGUAGE_CODES)
     lang_ids = jnp.asarray(
-        [tokenizer.token_id_sot + 1 + i for i in range(len(LANGUAGE_CODES))],
+        [tokenizer.token_id_sot + 1 + i for i in range(len(codes))],
         jnp.int32,
     )
     probs = np.asarray(
-        jax.jit(
-            lambda p, m: detect_language_logits(
-                p, m, dims, tokenizer.token_id_sot, lang_ids
-            )
-        )(params, mel)
+        _jitted_detect(dims, int(tokenizer.token_id_sot))(params, mel, lang_ids)
     )
     out = []
     for row in probs:
-        ranked = sorted(
-            zip(LANGUAGE_CODES, row.tolist()), key=lambda kv: -kv[1]
-        )
+        ranked = sorted(zip(codes, row.tolist()), key=lambda kv: -kv[1])
         out.append(dict(ranked))
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_detect(dims: ModelDims, sot_id: int):
+    """One compiled executable per (dims, sot) — repeated detect_language
+    calls reuse it instead of re-jitting (round-1 weak spot)."""
+    return jax.jit(
+        lambda p, m, lang_ids: detect_language_logits(p, m, dims, sot_id, lang_ids)
+    )

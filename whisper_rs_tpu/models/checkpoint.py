@@ -51,7 +51,13 @@ def load_params(path: str, dtype=jnp.float32) -> Tuple[dict, ModelDims]:
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
     dims = ModelDims(**json.loads(bytes(flat.pop("__dims__")).decode()))
+    # Cast only floating leaves: integer leaves (int8 quantized weights,
+    # token tables) keep their stored dtype — casting int8 weights to f32
+    # would silently quadruple the HBM weight stream.
     params = jax.tree.map(
-        lambda a: jnp.asarray(a, dtype), _unflatten(flat)
+        lambda a: jnp.asarray(
+            a, dtype if np.issubdtype(a.dtype, np.floating) else a.dtype
+        ),
+        _unflatten(flat),
     )
     return params, dims

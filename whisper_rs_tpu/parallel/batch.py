@@ -111,9 +111,11 @@ class BatchTranscriber:
                 )
                 prompts.append(s.tokens if condition else None)
 
-            # pad the batch with repeats to the static batch size
-            n_real = len(windows)
-            while len(windows) < min(self.batch_size, max(n_real, 1)):
+            # pad the batch with repeats to the static batch size so the
+            # decode graph compiles once: as utterances retire (8->5->3->1)
+            # shapes stay [batch_size, ...]; padded rows are dropped below
+            # because results are indexed by enumerate(chunk)
+            while len(windows) < self.batch_size:
                 windows.append(windows[-1])
                 prompts.append(prompts[-1])
 

@@ -75,7 +75,7 @@ bool parse_wav(const std::vector<uint8_t>& data, std::vector<float>* mono,
   }
   size_t pos = 12;
   uint16_t fmt_tag = 0, n_ch = 0, bits = 0;
-  uint32_t sr = 0;
+  uint32_t sr = 0, sub_format = 0;
   const uint8_t* samples = nullptr;
   size_t samples_len = 0;
 
@@ -90,6 +90,9 @@ bool parse_wav(const std::vector<uint8_t>& data, std::vector<float>* mono,
       std::memcpy(&n_ch, body + 2, 2);
       std::memcpy(&sr, body + 4, 4);
       std::memcpy(&bits, body + 14, 2);
+      // WAVE_FORMAT_EXTENSIBLE: SubFormat GUID data1 at fmt offset 24
+      // (KSDATAFORMAT_SUBTYPE_PCM = 1, _IEEE_FLOAT = 3)
+      if (size >= 40) std::memcpy(&sub_format, body + 24, 4);
     } else if (std::memcmp(cid, "data", 4) == 0) {
       samples = body;
       samples_len = size;
@@ -100,7 +103,13 @@ bool parse_wav(const std::vector<uint8_t>& data, std::vector<float>* mono,
     set_error("missing fmt/data chunk");
     return false;
   }
-  if (fmt_tag == 0xFFFE) fmt_tag = (bits == 32 || bits == 64) ? 3 : 1;
+  if (fmt_tag == 0xFFFE) {
+    if (sub_format != 1 && sub_format != 3) {
+      set_error("unsupported WAVE_FORMAT_EXTENSIBLE SubFormat");
+      return false;
+    }
+    fmt_tag = static_cast<uint16_t>(sub_format);
+  }
 
   std::vector<float> interleaved;
   if (fmt_tag == 1) {  // PCM

@@ -113,3 +113,25 @@ LANGUAGES = (
 
 LANGUAGE_CODES = tuple(code for code, _ in LANGUAGES)
 LANGUAGE_NAMES = dict(LANGUAGES)
+
+# large-v3 / large-v3-turbo (n_vocab 51866) append a 100th language token
+# <|yue|> after <|su|>; every other checkpoint family has exactly 99.
+LANGUAGES_V3 = LANGUAGES + (("yue", "cantonese"),)
+
+
+def language_table(num_languages: int):
+    """The (code, name) table for a model with `num_languages` languages."""
+    if num_languages == len(LANGUAGES):
+        return LANGUAGES
+    if num_languages == len(LANGUAGES_V3):
+        return LANGUAGES_V3
+    raise ValueError(f"unsupported language count {num_languages}")
+
+
+def num_languages_for_vocab(n_vocab: int) -> int:
+    """Languages in a checkpoint's special-token block, from its vocab size.
+
+    51864 (en-only) and 51865 (multilingual) carry 99 language tokens;
+    51866 (large-v3 family) carries 100 (adds <|yue|>).
+    """
+    return 100 if n_vocab >= 51866 else 99

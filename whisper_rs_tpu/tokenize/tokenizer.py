@@ -21,12 +21,11 @@ import os
 import pathlib
 from typing import List, Optional, Sequence
 
-from .languages import LANGUAGE_CODES
+from .languages import language_table, num_languages_for_vocab
 
 _DEFAULT_TOKENIZER_PATHS = (
     os.environ.get("WHISPER_TOKENIZER_JSON"),
     str(pathlib.Path(__file__).resolve().parents[2] / "assets" / "gpt2.json"),
-    "/root/reference/tokenizer/gpt2.json",
 )
 
 
@@ -71,10 +70,17 @@ class Tokenizer:
         task: Task = Task.TRANSCRIBE,
         tokenizer_json: Optional[str] = None,
         language: str = "en",
+        num_languages: int = 99,
     ):
         # Multilingual task routing is implemented (unlike the reference,
         # which asserts transcribe-only, tokenize.rs:143-147) but the
         # sot-sequence keeps reference semantics by default.
+        #
+        # `num_languages` must match the checkpoint family: 99 for every
+        # model through large-v2, 100 for large-v3/large-v3-turbo (which
+        # insert <|yue|> after <|su|>, shifting every later special ID by
+        # one).  Use `Tokenizer.for_dims(...)` / `num_languages_for_vocab`
+        # to derive it from the model's n_vocab.
         import tokenizers as hf_tokenizers
 
         path = tokenizer_json
@@ -91,9 +97,12 @@ class Tokenizer:
 
         tk = hf_tokenizers.Tokenizer.from_file(str(path))
 
+        self.languages = language_table(num_languages)
+        self.language_codes = tuple(code for code, _ in self.languages)
+        self.num_languages = num_languages
         specials = (
             ["<|startoftranscript|>"]
-            + [f"<|{code}|>" for code in LANGUAGE_CODES]
+            + [f"<|{code}|>" for code in self.language_codes]
             + list(_SPECIALS_TAIL)
         )
         tk.add_special_tokens(
@@ -118,6 +127,18 @@ class Tokenizer:
         # virtual timestamp tokens start right after the last special token
         self.token_id_ts_begin = (
             max(tk.token_to_id(s) for s in specials) + 1
+        )
+
+    @classmethod
+    def for_dims(cls, dims, task: Task = Task.TRANSCRIBE,
+                 tokenizer_json: Optional[str] = None, language: str = "en"):
+        """Tokenizer matching a ModelDims' vocab (picks 99 vs 100 languages;
+        large-v3's n_vocab=51866 adds <|yue|> and shifts later special IDs)."""
+        return cls(
+            task,
+            tokenizer_json=tokenizer_json,
+            language=language,
+            num_languages=num_languages_for_vocab(dims.n_vocab),
         )
 
     # -- encode / decode ----------------------------------------------------
