@@ -60,3 +60,35 @@ def test_24bit():
     blob = encode_flac(audio, 16000, bps=24)
     out, _ = decode_flac(blob)
     np.testing.assert_allclose(out[:, 0], audio, atol=2e-6)
+
+
+@pytest.mark.skipif(
+    not __import__("whisper_rs_tpu.runtime.native", fromlist=["available"]).available(),
+    reason="native lib unavailable",
+)
+def test_native_flac_matches_python(tmp_path):
+    """The C++ FLAC decoder (runtime/audio_native.cpp) must agree exactly
+    with the pure-Python decoder on mono/stereo, fixed orders, and noise
+    (stresses Rice partitions)."""
+    from whisper_rs_tpu.runtime import native
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ("mono_o0", (rng.standard_normal(5000) * 0.3).astype(np.float32), 0),
+        ("mono_o1", (rng.standard_normal(9000) * 0.3).astype(np.float32), 1),
+        ("corr_o4", None, 4),
+        ("stereo", (rng.standard_normal((6000, 2)) * 0.2).astype(np.float32), 2),
+    ]
+    for name, x, order in cases:
+        if x is None:
+            x = np.cumsum(rng.standard_normal(20000)).astype(np.float32)
+            x = (0.5 * x / np.abs(x).max()).astype(np.float32)
+        blob = encode_flac(x, 16000, fixed_order=order)
+        p = tmp_path / f"{name}.flac"
+        p.write_bytes(blob)
+        y_py, sr = decode_flac(blob)
+        assert sr == 16000
+        y_nat = native.load_audio(str(p))
+        mono_py = y_py.mean(axis=1).astype(np.float32)
+        assert len(y_nat) == len(mono_py), name
+        np.testing.assert_allclose(y_nat, mono_py, atol=1e-7, err_msg=name)

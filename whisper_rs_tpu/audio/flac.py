@@ -89,7 +89,115 @@ _FIXED_COEFS = {
 }
 
 
-def _decode_residual(br: _BitReader, blocksize: int, order: int) -> List[int]:
+class _FrameBits:
+    """Whole-stream bit view for vectorized decode.
+
+    ``ones`` holds the sorted positions of set bits; ``win64`` holds, for
+    every byte offset i, the big-endian 64-bit window starting at byte i —
+    so any ≤56-bit field at bit position p is one gather plus shift/mask.
+    """
+
+    def __init__(self, data: bytes):
+        b = np.frombuffer(data + b"\x00" * 8, np.uint8)
+        self.bits = np.unpackbits(b)  # incl. 64 zero pad bits
+        self.ones = np.flatnonzero(self.bits)
+        # prefix count: csum[x] = number of set bits at positions <= x
+        # (int32: ~10x faster cumsum than int64; fine below 2^31 set bits)
+        self.csum = np.cumsum(self.bits, dtype=np.int32)
+        w = np.zeros(len(b) - 7, np.uint64)
+        for i in range(8):
+            w |= b[i : len(b) - 7 + i].astype(np.uint64) << np.uint64(
+                8 * (7 - i)
+            )
+        self.win64 = w
+
+    def _fields(self, starts: np.ndarray, width: int) -> np.ndarray:
+        """Extract a width-bit (≤56) big-endian field at each bit position
+        in ``starts`` -> uint64 values."""
+        byte_idx = starts >> 3
+        bitoff = (starts & 7).astype(np.uint64)
+        shift = np.uint64(64 - width) - bitoff
+        return (self.win64[byte_idx] >> shift) & np.uint64((1 << width) - 1)
+
+    def read_fixed(self, pos: int, n: int, width: int, signed: bool = True):
+        """n consecutive width-bit big-endian fields -> (int64[n], new_pos)."""
+        if width == 0 or n == 0:
+            return np.zeros(n, np.int64), pos
+        starts = pos + np.arange(n, dtype=np.int64) * width
+        v = self._fields(starts, width).astype(np.int64)
+        if signed and width < 64:
+            v = np.where(v >= (1 << (width - 1)), v - (1 << width), v)
+        return v, pos + n * width
+
+    def rice_decode(self, pos: int, n: int, k: int):
+        """n Rice(k)-coded residuals starting at bit ``pos``.
+
+        Stop-bit positions are found without any per-sample Python loop:
+        from each set bit, the *next* stop bit is the first set bit at
+        least k+1 later (skipping the k remainder bits), a relation
+        computed for every candidate at once with searchsorted and then
+        chased for all n samples in log2(n) binary-jumping rounds.
+        """
+        ones, csum = self.ones, self.csum
+        j0 = int(csum[pos - 1]) if pos else 0  # ones strictly before pos
+        # candidate window: typical streams set ~half the remainder bits;
+        # grow geometrically toward the worst case n*(k+1) if exhausted
+        guess = n * (2 + k // 2) + 1
+        while True:
+            hi = min(len(ones), j0 + guess)
+            sub = ones[j0:hi]
+            if len(sub) < n:
+                raise ValueError("truncated Rice partition")
+            # local index of each candidate's successor stop: the count of
+            # set bits at positions <= sub[j]+k, re-based to this window
+            sentinel = len(sub)
+            nxt = np.empty(len(sub) + 1, np.int32)
+            np.minimum(csum[sub + k] - j0, sentinel, out=nxt[:-1])
+            nxt[-1] = sentinel  # sentinel maps to itself
+            path = np.empty(n, np.int32)
+            path[0] = 0
+            filled = 1
+            jump = nxt  # jump[i] = index after 2^r successor steps
+            while filled < n:
+                m = min(filled, n - filled)
+                path[filled : filled + m] = jump[path[:m]]
+                filled += m
+                if filled < n:
+                    jump = jump[jump]
+            if path[-1] < sentinel:
+                break
+            if hi == len(ones) or guess >= n * (k + 1) + 1:
+                raise ValueError("truncated Rice partition")
+            guess = min(guess * 4, n * (k + 1) + 1)
+        stops = sub[path]
+        q = np.empty(n, np.int64)
+        q[0] = stops[0] - pos
+        q[1:] = stops[1:] - stops[:-1] - (k + 1)
+        if k:
+            rem = self._fields(stops + 1, k).astype(np.int64)
+            u = (q << k) | rem
+        else:
+            u = q
+        vals = (u >> 1) ^ -(u & 1)  # zigzag
+        return vals, int(stops[-1]) + 1 + k
+
+
+def _integrate_fixed(warmup: np.ndarray, resid: np.ndarray, order: int):
+    """Fixed-predictor reconstruction: a fixed predictor of order m means
+    the m-th difference of the signal equals the residual, so decode is m
+    rounds of seeded cumulative sum (exact in int64)."""
+    if order == 0:
+        return resid.astype(np.int64)
+    warmup = warmup.astype(np.int64)
+    cur = resid.astype(np.int64)
+    for j in range(order, 0, -1):
+        seed = np.diff(warmup, j - 1)[-1] if j > 1 else warmup[-1]
+        cur = seed + np.cumsum(cur)
+    return np.concatenate([warmup, cur])
+
+
+def _decode_residual_v(fb: _FrameBits, br: _BitReader, blocksize: int,
+                       order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
         raise ValueError("reserved residual method")
@@ -97,23 +205,23 @@ def _decode_residual(br: _BitReader, blocksize: int, order: int) -> List[int]:
     escape = (1 << plen) - 1
     part_order = br.read(4)
     n_parts = 1 << part_order
-    out: List[int] = []
+    parts = []
     for p in range(n_parts):
         n = (blocksize >> part_order) - (order if p == 0 else 0)
         param = br.read(plen)
+        if n == 0:
+            continue
         if param == escape:
-            bits = br.read(5)
-            for _ in range(n):
-                out.append(br.read_signed(bits) if bits else 0)
+            width = br.read(5)
+            vals, br.pos = fb.read_fixed(br.pos, n, width)
         else:
-            for _ in range(n):
-                q = br.read_unary()
-                u = (q << param) | (br.read(param) if param else 0)
-                out.append((u >> 1) ^ -(u & 1))  # zigzag
-    return out
+            vals, br.pos = fb.rice_decode(br.pos, n, param)
+        parts.append(vals)
+    return np.concatenate(parts) if parts else np.zeros(0, np.int64)
 
 
-def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> List[int]:
+def _decode_subframe(fb: _FrameBits, br: _BitReader, blocksize: int,
+                     bps: int) -> np.ndarray:
     if br.read(1) != 0:
         raise ValueError("invalid subframe padding bit")
     sf_type = br.read(6)
@@ -124,32 +232,37 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> List[int]:
 
     if sf_type == 0:  # constant
         v = br.read_signed(bps)
-        samples = [v] * blocksize
+        samples = np.full(blocksize, v, np.int64)
     elif sf_type == 1:  # verbatim
-        samples = [br.read_signed(bps) for _ in range(blocksize)]
+        samples, br.pos = fb.read_fixed(br.pos, blocksize, bps)
     elif 8 <= sf_type <= 12:  # fixed
         order = sf_type - 8
-        samples = [br.read_signed(bps) for _ in range(order)]
-        resid = _decode_residual(br, blocksize, order)
-        coefs = _FIXED_COEFS[order]
-        for r in resid:
-            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
-            samples.append(pred + r)
+        warmup, br.pos = fb.read_fixed(br.pos, order, bps)
+        resid = _decode_residual_v(fb, br, blocksize, order)
+        samples = _integrate_fixed(warmup, resid, order)
     elif sf_type >= 32:  # LPC
         order = (sf_type & 31) + 1
-        samples = [br.read_signed(bps) for _ in range(order)]
+        warmup, br.pos = fb.read_fixed(br.pos, order, bps)
         precision = br.read(4) + 1
         shift = br.read_signed(5)
-        coefs = [br.read_signed(precision) for _ in range(order)]
-        resid = _decode_residual(br, blocksize, order)
-        for r in resid:
-            acc = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
-            samples.append((acc >> shift) + r)
+        coefs_a, br.pos = fb.read_fixed(br.pos, order, precision)
+        resid = _decode_residual_v(fb, br, blocksize, order)
+        # integer IIR: genuinely sequential; plain-int loop with reversed
+        # coefficients is the fastest pure-Python form
+        hist = [int(v) for v in warmup]
+        coefs = [int(c) for c in coefs_a[::-1]]  # oldest-first
+        rng = range(order)
+        for r in resid.tolist():
+            acc = 0
+            for i in rng:
+                acc += coefs[i] * hist[i - order]
+            hist.append((acc >> shift) + r)
+        samples = np.asarray(hist, np.int64)
     else:
         raise ValueError(f"reserved subframe type {sf_type}")
 
     if wasted:
-        samples = [s << wasted for s in samples]
+        samples = samples << wasted
     return samples
 
 
@@ -184,7 +297,8 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
     if sample_rate is None:
         raise ValueError("missing STREAMINFO")
 
-    channels: List[List[int]] = [[] for _ in range(n_channels)]
+    fb = _FrameBits(data)
+    channels: List[List[np.ndarray]] = [[] for _ in range(n_channels)]
     while pos < len(data) - 2:
         br = _BitReader(data, pos)
         sync = br.read(14)
@@ -219,40 +333,37 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
         if chan_code < 8:
             n_ch = chan_code + 1
             subs = [
-                _decode_subframe(br, blocksize, frame_bps) for _ in range(n_ch)
+                _decode_subframe(fb, br, blocksize, frame_bps)
+                for _ in range(n_ch)
             ]
         elif chan_code == 8:  # left/side
-            left = _decode_subframe(br, blocksize, frame_bps)
-            side = _decode_subframe(br, blocksize, frame_bps + 1)
-            subs = [left, [l - s for l, s in zip(left, side)]]
+            left = _decode_subframe(fb, br, blocksize, frame_bps)
+            side = _decode_subframe(fb, br, blocksize, frame_bps + 1)
+            subs = [left, left - side]
         elif chan_code == 9:  # right/side
-            side = _decode_subframe(br, blocksize, frame_bps + 1)
-            right = _decode_subframe(br, blocksize, frame_bps)
-            subs = [[r + s for r, s in zip(right, side)], right]
+            side = _decode_subframe(fb, br, blocksize, frame_bps + 1)
+            right = _decode_subframe(fb, br, blocksize, frame_bps)
+            subs = [right + side, right]
         elif chan_code == 10:  # mid/side
-            mid = _decode_subframe(br, blocksize, frame_bps)
-            side = _decode_subframe(br, blocksize, frame_bps + 1)
-            left = []
-            right = []
-            for m, s in zip(mid, side):
-                mm = (m << 1) | (s & 1)
-                left.append((mm + s) >> 1)
-                right.append((mm - s) >> 1)
-            subs = [left, right]
+            mid = _decode_subframe(fb, br, blocksize, frame_bps)
+            side = _decode_subframe(fb, br, blocksize, frame_bps + 1)
+            mm = (mid << 1) | (side & 1)
+            subs = [(mm + side) >> 1, (mm - side) >> 1]
         else:
             raise ValueError(f"reserved channel assignment {chan_code}")
 
         for c, sub in enumerate(subs):
-            channels[c].extend(sub)
+            channels[c].append(sub)
 
         br.align()
         br.read(16)  # CRC-16
         pos = br.pos >> 3
 
-    n = min(len(c) for c in channels)
+    cat = [np.concatenate(c) if c else np.zeros(0, np.int64) for c in channels]
+    n = min(len(c) for c in cat)
     if total:
         n = min(n, total)
-    arr = np.asarray([c[:n] for c in channels], np.float64).T
+    arr = np.stack([c[:n] for c in cat], axis=1).astype(np.float64)
     scale = float(1 << (bps - 1))
     return (arr / scale).astype(np.float32), sample_rate
 

@@ -121,6 +121,12 @@ def load_audio(path, use_native: Optional[bool] = None) -> np.ndarray:
         from .flac import decode_flac
 
         x, sr = decode_flac(data)
+    elif data[:4] != b"RIFF":
+        from .mp3 import decode_mp3, is_mp3
+
+        if not is_mp3(data):
+            raise ValueError(f"unrecognized audio container: {path}")
+        x, sr = decode_mp3(str(path))
     else:
         x, sr = _parse_wav(data)
     mono = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]  # audio.rs:123-131

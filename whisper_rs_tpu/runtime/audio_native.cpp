@@ -170,6 +170,320 @@ bool parse_wav(const std::vector<uint8_t>& data, std::vector<float>* mono,
 }
 
 // ---------------------------------------------------------------------------
+// FLAC (native decoder — LibriSpeech ingest fast path)
+//
+// Same stream support as the Python fallback (audio/flac.py): constant /
+// verbatim / fixed / LPC subframes, Rice & Rice2 partitions incl. escapes,
+// wasted bits, left/right/mid-side decorrelation, 8..32-bit samples.
+// Reference capability: symphonia "flac" feature (Cargo.toml:15).
+// ---------------------------------------------------------------------------
+
+class FlacBitReader {
+ public:
+  // data must have >=8 readable bytes past the end (caller pads).
+  FlacBitReader(const uint8_t* data, size_t len_bytes)
+      : d_(data), len_bits_(len_bytes * 8) {}
+
+  uint64_t read(int n) {  // n <= 57
+    const uint64_t w = be64(pos_ >> 3) << (pos_ & 7);
+    pos_ += n;
+    return n ? (w >> (64 - n)) : 0;
+  }
+
+  int64_t read_signed(int n) {
+    uint64_t v = read(n);
+    if (n < 64 && v >= (1ull << (n - 1))) return static_cast<int64_t>(v) - (1ll << n);
+    return static_cast<int64_t>(v);
+  }
+
+  int read_unary() {
+    int q = 0;
+    for (;;) {
+      uint64_t w = be64(pos_ >> 3) << (pos_ & 7);
+      if (w == 0) {  // >=57 zero bits in the window
+        int advance = 57 - static_cast<int>(pos_ & 7);
+        q += advance;
+        pos_ += advance;
+        if (pos_ >= len_bits_) return q;  // corrupt; caller detects
+        continue;
+      }
+      const int lead = __builtin_clzll(w);
+      q += lead;
+      pos_ += lead + 1;  // consume zeros + the stop bit
+      return q;
+    }
+  }
+
+  uint64_t read_utf8() {
+    uint64_t b0 = read(8);
+    if (b0 < 0x80) return b0;
+    int n_extra = 0;
+    uint64_t mask = 0x40;
+    while (b0 & mask) {
+      ++n_extra;
+      mask >>= 1;
+    }
+    uint64_t v = b0 & (mask - 1);
+    for (int i = 0; i < n_extra; ++i) v = (v << 6) | (read(8) & 0x3F);
+    return v;
+  }
+
+  void align() { pos_ = (pos_ + 7) & ~size_t(7); }
+  size_t bit_pos() const { return pos_; }
+  void set_bit_pos(size_t p) { pos_ = p; }
+  bool overran() const { return pos_ > len_bits_; }
+
+ private:
+  uint64_t be64(size_t byte) const {
+    uint64_t w;
+    std::memcpy(&w, d_ + byte, 8);
+    return __builtin_bswap64(w);
+  }
+  const uint8_t* d_;
+  size_t len_bits_;
+  size_t pos_ = 0;
+};
+
+bool flac_residual(FlacBitReader& br, int blocksize, int order,
+                   std::vector<int64_t>* out) {
+  const int method = static_cast<int>(br.read(2));
+  if (method > 1) {
+    set_error("reserved FLAC residual method");
+    return false;
+  }
+  const int plen = method == 0 ? 4 : 5;
+  const uint64_t escape = (1ull << plen) - 1;
+  const int part_order = static_cast<int>(br.read(4));
+  const int n_parts = 1 << part_order;
+  out->clear();
+  out->reserve(blocksize);
+  for (int p = 0; p < n_parts; ++p) {
+    const int n = (blocksize >> part_order) - (p == 0 ? order : 0);
+    const uint64_t param = br.read(plen);
+    if (param == escape) {
+      const int width = static_cast<int>(br.read(5));
+      for (int i = 0; i < n; ++i)
+        out->push_back(width ? br.read_signed(width) : 0);
+    } else {
+      const int k = static_cast<int>(param);
+      for (int i = 0; i < n; ++i) {
+        const uint64_t q = br.read_unary();
+        const uint64_t u = (q << k) | (k ? br.read(k) : 0);
+        out->push_back(static_cast<int64_t>(u >> 1) ^
+                       -static_cast<int64_t>(u & 1));  // zigzag
+      }
+    }
+  }
+  return true;
+}
+
+bool flac_subframe(FlacBitReader& br, int blocksize, int bps,
+                   std::vector<int64_t>* samples) {
+  if (br.read(1) != 0) {
+    set_error("invalid FLAC subframe padding bit");
+    return false;
+  }
+  const int sf_type = static_cast<int>(br.read(6));
+  int wasted = 0;
+  if (br.read(1)) {
+    wasted = 1 + br.read_unary();
+    bps -= wasted;
+  }
+  samples->clear();
+  samples->reserve(blocksize);
+  std::vector<int64_t> resid;
+
+  if (sf_type == 0) {  // constant
+    samples->assign(blocksize, br.read_signed(bps));
+  } else if (sf_type == 1) {  // verbatim
+    for (int i = 0; i < blocksize; ++i) samples->push_back(br.read_signed(bps));
+  } else if (sf_type >= 8 && sf_type <= 12) {  // fixed
+    const int order = sf_type - 8;
+    static const int kCoefs[5][4] = {
+        {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
+    for (int i = 0; i < order; ++i) samples->push_back(br.read_signed(bps));
+    if (!flac_residual(br, blocksize, order, &resid)) return false;
+    for (int64_t r : resid) {
+      int64_t pred = 0;
+      const size_t t = samples->size();
+      for (int i = 0; i < order; ++i) pred += kCoefs[order][i] * (*samples)[t - 1 - i];
+      samples->push_back(pred + r);
+    }
+  } else if (sf_type >= 32) {  // LPC
+    const int order = (sf_type & 31) + 1;
+    for (int i = 0; i < order; ++i) samples->push_back(br.read_signed(bps));
+    const int precision = static_cast<int>(br.read(4)) + 1;
+    const int shift = static_cast<int>(br.read_signed(5));
+    int64_t coefs[32];
+    for (int i = 0; i < order; ++i) coefs[i] = br.read_signed(precision);
+    if (!flac_residual(br, blocksize, order, &resid)) return false;
+    for (int64_t r : resid) {
+      int64_t acc = 0;
+      const size_t t = samples->size();
+      for (int i = 0; i < order; ++i) acc += coefs[i] * (*samples)[t - 1 - i];
+      samples->push_back((acc >> shift) + r);
+    }
+  } else {
+    set_error("reserved FLAC subframe type");
+    return false;
+  }
+
+  if (wasted)
+    for (auto& s : *samples) s <<= wasted;
+  return true;
+}
+
+bool decode_flac_native(const std::vector<uint8_t>& raw,
+                        std::vector<float>* mono_or_interleaved, int* n_channels,
+                        int* sample_rate) {
+  if (raw.size() < 8 || std::memcmp(raw.data(), "fLaC", 4) != 0) {
+    set_error("not a FLAC stream");
+    return false;
+  }
+  std::vector<uint8_t> data(raw);
+  data.resize(raw.size() + 8, 0);  // bit-reader overread pad
+
+  static const int kBlockSizes[16] = {0,    192,  576,   1152,  2304, 4608,
+                                      0,    0,    256,   512,   1024, 2048,
+                                      4096, 8192, 16384, 32768};
+  static const int kSampleSizes[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+
+  size_t pos = 4;
+  int sr = 0, n_ch = 0, bps = 0;
+  uint64_t total = 0;
+  for (;;) {
+    if (pos + 4 > raw.size()) {
+      set_error("truncated FLAC metadata");
+      return false;
+    }
+    const uint8_t hdr = data[pos];
+    const uint32_t length =
+        (data[pos + 1] << 16) | (data[pos + 2] << 8) | data[pos + 3];
+    if ((hdr & 0x7F) == 0) {  // STREAMINFO
+      FlacBitReader br(data.data() + pos + 4, length);
+      br.read(16);
+      br.read(16);
+      br.read(24);
+      br.read(24);
+      sr = static_cast<int>(br.read(20));
+      n_ch = static_cast<int>(br.read(3)) + 1;
+      bps = static_cast<int>(br.read(5)) + 1;
+      total = br.read(36);
+    }
+    pos += 4 + length;
+    if (hdr & 0x80) break;
+  }
+  if (sr == 0) {
+    set_error("missing FLAC STREAMINFO");
+    return false;
+  }
+
+  std::vector<std::vector<int64_t>> channels(n_ch);
+  std::vector<int64_t> sub[2];
+  std::vector<std::vector<int64_t>> subs(n_ch);
+  FlacBitReader br(data.data(), raw.size());
+  br.set_bit_pos(pos * 8);
+
+  while ((br.bit_pos() >> 3) + 2 < raw.size()) {
+    if (br.read(14) != 0x3FFE) break;
+    br.read(1);
+    br.read(1);
+    const int bs_code = static_cast<int>(br.read(4));
+    const int sr_code = static_cast<int>(br.read(4));
+    const int chan_code = static_cast<int>(br.read(4));
+    const int ss_code = static_cast<int>(br.read(3));
+    br.read(1);
+    br.read_utf8();
+    int blocksize = kBlockSizes[bs_code];
+    if (bs_code == 6) blocksize = static_cast<int>(br.read(8)) + 1;
+    if (bs_code == 7) blocksize = static_cast<int>(br.read(16)) + 1;
+    if (sr_code == 12) br.read(8);
+    if (sr_code == 13 || sr_code == 14) br.read(16);
+    const int frame_bps = kSampleSizes[ss_code] ? kSampleSizes[ss_code] : bps;
+    br.read(8);  // CRC-8
+
+    if (blocksize <= 0) {
+      set_error("invalid FLAC block size");
+      return false;
+    }
+
+    if (chan_code < 8) {
+      const int nc = chan_code + 1;
+      if (nc != n_ch) {
+        set_error("FLAC channel count mismatch");
+        return false;
+      }
+      for (int c = 0; c < nc; ++c)
+        if (!flac_subframe(br, blocksize, frame_bps, &subs[c])) return false;
+    } else if (chan_code <= 10) {
+      if (n_ch != 2) {
+        set_error("FLAC stereo decorrelation in non-stereo stream");
+        return false;
+      }
+      const int bps0 = frame_bps + (chan_code == 9 ? 1 : 0);
+      const int bps1 = frame_bps + (chan_code == 9 ? 0 : 1);
+      if (!flac_subframe(br, blocksize, bps0, &sub[0])) return false;
+      if (!flac_subframe(br, blocksize, bps1, &sub[1])) return false;
+      subs[0].resize(blocksize);
+      subs[1].resize(blocksize);
+      for (int i = 0; i < blocksize; ++i) {
+        if (chan_code == 8) {  // left/side
+          subs[0][i] = sub[0][i];
+          subs[1][i] = sub[0][i] - sub[1][i];
+        } else if (chan_code == 9) {  // right/side
+          subs[0][i] = sub[1][i] + sub[0][i];
+          subs[1][i] = sub[1][i];
+        } else {  // mid/side
+          const int64_t mm = (sub[0][i] << 1) | (sub[1][i] & 1);
+          subs[0][i] = (mm + sub[1][i]) >> 1;
+          subs[1][i] = (mm - sub[1][i]) >> 1;
+        }
+      }
+    } else {
+      set_error("reserved FLAC channel assignment");
+      return false;
+    }
+    if (br.overran()) {
+      set_error("truncated FLAC frame");
+      return false;
+    }
+    for (int c = 0; c < n_ch; ++c)
+      channels[c].insert(channels[c].end(), subs[c].begin(), subs[c].end());
+
+    br.align();
+    br.read(16);  // CRC-16
+  }
+
+  size_t n = channels[0].size();
+  for (int c = 1; c < n_ch; ++c) n = std::min(n, channels[c].size());
+  if (total) n = std::min(n, static_cast<size_t>(total));
+  const double scale = static_cast<double>(1ll << (bps - 1));
+  mono_or_interleaved->resize(n * n_ch);
+  for (size_t i = 0; i < n; ++i)
+    for (int c = 0; c < n_ch; ++c)
+      (*mono_or_interleaved)[i * n_ch + c] =
+          static_cast<float>(channels[c][i] / scale);
+  *n_channels = n_ch;
+  *sample_rate = sr;
+  return true;
+}
+
+bool decode_flac_mono(const std::vector<uint8_t>& data, std::vector<float>* mono,
+                      int* sample_rate) {
+  std::vector<float> interleaved;
+  int n_ch = 0;
+  if (!decode_flac_native(data, &interleaved, &n_ch, sample_rate)) return false;
+  const size_t frames = n_ch ? interleaved.size() / n_ch : 0;
+  mono->resize(frames);
+  for (size_t i = 0; i < frames; ++i) {
+    double acc = 0;
+    for (int c = 0; c < n_ch; ++c) acc += interleaved[i * n_ch + c];
+    (*mono)[i] = static_cast<float>(acc / n_ch);
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
 // MP3 via dlopen'd libmpg123 (optional at runtime)
 // ---------------------------------------------------------------------------
 
@@ -179,8 +493,7 @@ struct Mpg123Api {
   void* (*newh)(const char*, int*) = nullptr;
   int (*open)(void*, const char*) = nullptr;
   int (*getformat)(void*, long*, int*, int*) = nullptr;
-  int (*format_none)(void*) = nullptr;
-  int (*format)(void*, long, int, int) = nullptr;
+  int (*param)(void*, int, long, double) = nullptr;
   int (*read)(void*, unsigned char*, size_t, size_t*) = nullptr;
   int (*close)(void*) = nullptr;
   void (*del)(void*) = nullptr;
@@ -194,14 +507,11 @@ struct Mpg123Api {
     open = reinterpret_cast<decltype(open)>(dlsym(lib, "mpg123_open"));
     getformat =
         reinterpret_cast<decltype(getformat)>(dlsym(lib, "mpg123_getformat"));
-    format_none =
-        reinterpret_cast<decltype(format_none)>(dlsym(lib, "mpg123_format_none"));
-    format = reinterpret_cast<decltype(format)>(dlsym(lib, "mpg123_format"));
+    param = reinterpret_cast<decltype(param)>(dlsym(lib, "mpg123_param"));
     read = reinterpret_cast<decltype(read)>(dlsym(lib, "mpg123_read"));
     close = reinterpret_cast<decltype(close)>(dlsym(lib, "mpg123_close"));
     del = reinterpret_cast<decltype(del)>(dlsym(lib, "mpg123_delete"));
-    return init && newh && open && getformat && format_none && format && read &&
-           close && del;
+    return init && newh && open && getformat && param && read && close && del;
   }
 };
 
@@ -225,9 +535,12 @@ bool decode_mp3(const char* path, std::vector<float>* mono, int* sample_rate) {
   long rate = 0;
   int channels = 0, enc = 0;
   std::vector<float> interleaved;
-  if (api.open(h, path) == 0 && api.getformat(h, &rate, &channels, &enc) == 0) {
-    api.format_none(h);
-    api.format(h, rate, channels, kMpg123EncFloat32);
+  // Force float32 BEFORE open: mpg123_format on an already-open stream
+  // does not re-negotiate, silently yielding s16 bytes read as floats.
+  // MPG123_ADD_FLAGS = 2, MPG123_FORCE_FLOAT = 0x400.
+  api.param(h, 2, 0x400, 0.0);
+  if (api.open(h, path) == 0 && api.getformat(h, &rate, &channels, &enc) == 0 &&
+      enc == kMpg123EncFloat32) {
     std::vector<unsigned char> buf(1 << 16);
     size_t done = 0;
     int r;
@@ -295,7 +608,11 @@ int wr_load_audio(const char* path, float** out, int64_t* out_len) {
   } else {
     std::vector<uint8_t> data;
     if (!read_file(path, &data)) return -1;
-    if (!parse_wav(data, &mono, &sr)) return -1;
+    if (data.size() >= 4 && std::memcmp(data.data(), "fLaC", 4) == 0) {
+      if (!decode_flac_mono(data, &mono, &sr)) return -1;
+    } else {
+      if (!parse_wav(data, &mono, &sr)) return -1;
+    }
   }
 
   std::vector<float> res = resample(mono, sr, kTargetRate);
