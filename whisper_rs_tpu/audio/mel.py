@@ -24,6 +24,8 @@ against the reference's CSV fixtures.
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -182,8 +184,23 @@ def log_mel_file(
     padding can alter at most the last 2 frames relative to an exact-length
     reflect-padded STFT — beyond the true n_frames the seek loop never
     looks, and the final window is zero-padded anyway (pad_or_trim).
+
+    On TPU this routes through the fused Pallas kernel
+    (ops.mel_pallas.log_mel_file_pallas — chunked with true-sample halos,
+    numerically identical); elsewhere it runs the XLA matmul-DFT path.
+    ``WHISPER_FORCE_PALLAS_MEL=interpret`` forces the Pallas path in
+    interpreter mode (CPU test hook).
     """
     from .constants import N_SAMPLES
+
+    force = os.environ.get("WHISPER_FORCE_PALLAS_MEL")
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if on_tpu or force:
+        from ..ops.mel_pallas import log_mel_file_pallas
+
+        return log_mel_file_pallas(
+            audio, n_mels, dtype=dtype, interpret=(force == "interpret")
+        )
 
     n = int(np.shape(audio)[-1])
     n_frames = n // HOP_LENGTH

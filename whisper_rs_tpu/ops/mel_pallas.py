@@ -120,6 +120,29 @@ def _mel_kernel(audio_ref, wcos_ref, wsin_ref, melT_ref, out_ref):
     )
 
 
+def _raw_log10_mel(audio_r: jnp.ndarray, n_mels: int, interpret: bool):
+    """[B, 3008, ROW_PAD] hop-rows -> [B, 3000, MEL_PAD] log10-mel (no
+    dynamic-range floor/scale — callers apply it at their own granularity)."""
+    B = audio_r.shape[0]
+    wcos, wsin, melT = _basis_constants(n_mels)
+    n_tiles = 3000 // F_TILE
+    return pl.pallas_call(
+        _mel_kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # audio stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, F_TILE, MEL_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 3000, MEL_PAD), jnp.float32),
+        interpret=interpret,
+    )(audio_r, jnp.asarray(wcos), jnp.asarray(wsin), jnp.asarray(melT))
+
+
 def log_mel_pallas(
     audio: jnp.ndarray,
     n_mels: int = 80,
@@ -130,7 +153,8 @@ def log_mel_pallas(
     """[B, 480000] (or [480000]) -> [B, n_mels, 3000] log-mel, fused kernel.
 
     Exact 30s windows only (the shape every decode window consumes);
-    arbitrary lengths go through the XLA path (audio.mel).
+    arbitrary lengths go through ``log_mel_file_pallas`` (whole files) or the
+    XLA path (audio.mel).
     """
     squeeze = audio.ndim == 1
     if squeeze:
@@ -149,24 +173,7 @@ def log_mel_pallas(
     audio_r = padded.reshape(B, rows, HOP_LENGTH)
     audio_r = jnp.pad(audio_r, ((0, 0), (0, 0), (0, ROW_PAD - HOP_LENGTH)))
 
-    wcos, wsin, melT = _basis_constants(n_mels)
-    n_tiles = 3000 // F_TILE
-
-    out = pl.pallas_call(
-        _mel_kernel,
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # audio stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, F_TILE, MEL_PAD), lambda b, p: (b, p, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, 3000, MEL_PAD), jnp.float32),
-        interpret=interpret,
-    )(audio_r, jnp.asarray(wcos), jnp.asarray(wsin), jnp.asarray(melT))
+    out = _raw_log10_mel(audio_r, n_mels, interpret)
 
     log_spec = out[:, :, :n_mels]  # drop mel padding
     # dynamic-range floor + scale epilogue (audio.rs:256-258), fused by XLA
@@ -175,6 +182,61 @@ def log_mel_pallas(
     log_spec = (log_spec + 4.0) / 4.0
     log_spec = log_spec.transpose(0, 2, 1).astype(dtype)  # [B, n_mels, 3000]
     return log_spec[0] if squeeze else log_spec
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _file_mel_epilogue(raw, n_mels, dtype):
+    """Concat chunk outputs and apply the whole-file dynamic-range floor
+    (audio.rs:256: the max is global over the file, NOT per window) + scale.
+    The slice to the true frame count happens outside (avoids one compile
+    per distinct file length)."""
+    C = raw.shape[0]
+    mel = raw[:, :, :n_mels].reshape(C * 3000, n_mels)
+    m = jnp.max(mel)  # over all bucket frames — matches audio.mel.log_mel_file
+    mel = jnp.maximum(mel, m - 8.0)
+    return ((mel + 4.0) / 4.0).T.astype(dtype)  # [n_mels, C*3000]
+
+
+def log_mel_file_pallas(
+    audio,
+    n_mels: int = 80,
+    *,
+    dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-file log-mel via the fused kernel: the file is zero-padded to a
+    30s bucket, reflect-padded once (audio.rs:236 center semantics), and cut
+    into 30s chunks with TRUE-sample halos so chunk-boundary frames read the
+    same samples a single whole-file STFT would — numerically identical to
+    ``audio.mel.log_mel_file``'s XLA bucket path, frame for frame.
+
+    This is the production transcribe/CLI frontend on TPU (TranscribeTask /
+    BatchTranscriber route here via ``audio.mel.log_mel_file``).
+    """
+    n = int(np.shape(audio)[-1])
+    n_frames = n // HOP_LENGTH
+    C = max(1, -(-n // N_SAMPLES))
+    pad = N_FFT // 2
+    buf = np.zeros(C * N_SAMPLES, np.float32)
+    buf[:n] = np.asarray(audio, np.float32)
+    padded = np.pad(buf, (pad, pad), mode="reflect")
+
+    rows = 3000 + 8  # 8 rows of DMA-tile slack (see log_mel_pallas)
+    seg_len = rows * HOP_LENGTH
+    chunks = np.zeros((C, seg_len), np.float32)
+    for c in range(C):
+        seg = padded[c * N_SAMPLES : c * N_SAMPLES + seg_len]
+        chunks[c, : seg.shape[0]] = seg
+    audio_r = chunks.reshape(C, rows, HOP_LENGTH)
+    audio_r = np.pad(audio_r, ((0, 0), (0, 0), (0, ROW_PAD - HOP_LENGTH)))
+
+    raw = _jitted_raw_mel(n_mels, interpret)(jnp.asarray(audio_r))
+    return _file_mel_epilogue(raw, n_mels, dtype)[:, :n_frames]
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_raw_mel(n_mels: int, interpret: bool):
+    return jax.jit(lambda a: _raw_log10_mel(a, n_mels, interpret))
 
 
 def log_mel_frontend(audio: jnp.ndarray, n_mels: int = 80, *, dtype=jnp.float32):
