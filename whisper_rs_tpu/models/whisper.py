@@ -413,7 +413,16 @@ def decoder_forward(
         # whose outputs/K/V are never attended)
         pos_idx = jnp.maximum(q_pos[None, :] - key_start[:, None], 0)  # [B, T]
         pos = dec["pos_emb"][pos_idx]  # [B, T, D]
-        visible = visible[None] & (key_idx[None, None, :] >= key_start[:, None, None])
+        # Pad-region queries (q_pos < key_start) would otherwise see an
+        # EMPTY key set -> all-(-inf) softmax row -> NaN, and those NaN
+        # outputs poison later layers' K/V (NaN qk survives the additive
+        # mask and wrecks every row's softmax).  Let each pad query attend
+        # its own slot: a no-op for real queries (self is already visible)
+        # that keeps pad outputs finite-garbage instead of NaN.
+        visible = visible[None] & (
+            (key_idx[None, None, :] >= key_start[:, None, None])
+            | (key_idx[None, :] == q_pos[:, None])[None]
+        )
         self_mask = jnp.where(visible, 0.0, neg)[:, None]  # [B, 1, T, n_ctx]
     else:
         pos = lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T, axis=0)
