@@ -62,8 +62,26 @@ def test_tp_param_shardings_structure(setup):
     assert blk["mlp"]["fc1"]["w"].spec == P(None, None, "model")
     assert blk["mlp"]["fc2"]["w"].spec == P(None, "model", None)
     assert blk["attn_ln"]["scale"].spec == P(None, None)
-    assert shardings["decoder"]["token_emb"].spec == P(None, None)
-    assert shardings["encoder"]["conv1"]["w"].spec == P(None, None, None)
+    # vocab-row sharded tied embedding + split conv stem (round-2: VERDICT #6)
+    assert shardings["decoder"]["token_emb"].spec == P("model", None)
+    assert shardings["decoder"]["pos_emb"].spec == P(None, None)
+    assert shardings["encoder"]["conv1"]["w"].spec == P("model", None, None)
+    assert shardings["encoder"]["conv1"]["b"].spec == P("model")
+    assert shardings["encoder"]["conv2"]["w"].spec == P(None, "model", None)
+    assert shardings["encoder"]["conv2"]["b"].spec == P(None)
+
+
+def test_tp_vocab_sharding_cuts_per_chip_bytes(setup):
+    """The embedding table is physically split: each chip holds V/mp rows."""
+    params, _ = setup
+    mesh = make_mesh(n_model=2)
+    sp = shard_params(mesh, params)
+    emb = sp["decoder"]["token_emb"]
+    full = emb.nbytes
+    shard = emb.addressable_shards[0].data.nbytes
+    assert shard <= full // 2 + emb.shape[1] * emb.dtype.itemsize  # pad slack
+    c1 = sp["encoder"]["conv1"]["w"]
+    assert c1.addressable_shards[0].data.shape[0] == c1.shape[0] // 2
 
 
 def test_tp_forward_matches_single_device(setup):

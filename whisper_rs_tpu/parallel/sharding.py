@@ -7,8 +7,16 @@ SURVEY §2.3):
     the model axis — head_dim stays whole so attention is head-local);
   * attn out: row-sharded ``[D/mp, D]`` — XLA inserts the psum;
   * MLP fc1 column- / fc2 row-sharded (the 4D hidden dim splits);
-  * LayerNorms, convs, embeddings replicated (embeddings are small relative
-    to HBM; convs are <15% of encoder FLOPs — revisit if profiling says so).
+  * tied token embedding: VOCAB-row sharded ``[V/mp, D]`` (the reference's
+    tied-logits matmul seam, model.rs:521).  The embedding lookup becomes a
+    GSPMD partitioned gather (mask + psum) and the logits einsum
+    ``btd,vd->btv`` keeps its output vocab-sharded until the top-k /
+    filters force the gather — per-chip params drop by V·D·(mp-1)/mp
+    (~130 MB for large-v3 at TP2);
+  * conv stem: conv1 output-channel column-sharded, conv2 input-channel
+    row-sharded (psum on its output) — encoder stem compute no longer
+    duplicated per TP rank;
+  * LayerNorms, positional embeddings replicated (small).
 
 Batch ('data' axis) shards utterances/windows; the beam KV-cache reorder
 gathers with batch-local indices so it stays shard-local under DP.
@@ -35,8 +43,20 @@ def _spec_for_path(path: tuple, leaf) -> P:
 
     if joined.endswith("ln/scale") or joined.endswith("ln/bias") or "_ln/" in joined or "ln_post" in joined:
         return spec(*([None] * (leaf.ndim - len(pre))))
-    if "conv" in joined or "token_emb" in joined or "pos_emb" in joined:
+    if "pos_emb" in joined:
         return P(*([None] * leaf.ndim))
+    if "token_emb" in joined:
+        # vocab-row sharding of the tied embedding (model.rs:521 seam); the
+        # int8 per-row scale leaf ("token_emb_scale", 1-D [V]) follows it
+        return P(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
+    if "conv1" in joined:
+        # column parallel: output channels sharded ([C_out, C_in, K] / [C_out])
+        return P(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
+    if "conv2" in joined:
+        # row parallel: contract over conv1's sharded channels, psum output
+        if leaf.ndim == 3:
+            return P(None, MODEL_AXIS, None)
+        return P(None)  # bias replicated
 
     is_w = joined.endswith("/w")
     if any(k in joined for k in ("query", "key", "value")) or "fc1" in joined:
