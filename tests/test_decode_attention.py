@@ -1,0 +1,165 @@
+"""Fused Pallas decode-step attention kernels vs the XLA reference path.
+
+Runs the kernels in interpreter mode on CPU (same harness as the mel
+kernel tests): raw-kernel math vs a NumPy oracle, then the integrated
+decoder_forward step (WHISPER_PALLAS_DECODE=interpret) vs the XLA path,
+bf16/f32 and int8-K/V variants, and a full greedy decode loop.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_rs_tpu.config import GreedyMode, ModelDims
+from whisper_rs_tpu.decode import FilterConfig, decode_greedy
+from whisper_rs_tpu.models import init_params
+from whisper_rs_tpu.models.whisper import (
+    KVCache,
+    decoder_forward,
+    encoder_forward,
+    precompute_cross_kv,
+)
+from whisper_rs_tpu.ops.decode_attention import (
+    cross_attention_step,
+    self_attention_step,
+)
+
+DIMS = ModelDims(
+    n_mels=80, n_vocab=1000, n_audio_ctx=1500, n_audio_state=64,
+    n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+    n_text_head=4, n_text_layer=2,
+)
+
+
+def test_self_attention_kernel_oracle():
+    rng = np.random.default_rng(0)
+    L, B, H, W, dh = 3, 4, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, H, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, B, H, W, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, B, H, W, dh)).astype(np.float32))
+    pos, lyr = 10, 1
+    ks = np.asarray([0, 2, 0, 5], np.int32)
+
+    got = np.asarray(
+        self_attention_step(
+            q, k, v, jnp.int32(lyr), jnp.int32(pos), jnp.asarray(ks),
+            window=W, interpret=True,
+        )
+    )
+
+    ids = np.arange(W)
+    for b in range(B):
+        vis = (ids <= pos) & (ids >= ks[b])
+        for h in range(H):
+            qk = np.asarray(q[b, h]) @ np.asarray(k[lyr, b, h]).T
+            qk = np.where(vis, qk, -1e9)
+            e = np.exp(qk - qk.max())
+            w = e / e.sum()
+            np.testing.assert_allclose(
+                got[b, h], w @ np.asarray(v[lyr, b, h]), rtol=1e-5, atol=1e-5
+            )
+
+
+def test_cross_attention_kernel_oracle_int8():
+    rng = np.random.default_rng(1)
+    L, A, G, H, Tk, dh = 2, 2, 3, 2, 32, 16
+    q = jnp.asarray(rng.standard_normal((A, G, H, dh)).astype(np.float32))
+    kf = rng.standard_normal((L, A, H, Tk, dh)).astype(np.float32)
+    vf = rng.standard_normal((L, A, H, Tk, dh)).astype(np.float32)
+
+    def quant(x):
+        amax = np.maximum(np.abs(x).max(axis=-1, keepdims=True), 1e-8)
+        s = (amax / 127.0).astype(np.float32)
+        return np.clip(np.round(x / s), -127, 127).astype(np.int8), s
+
+    kq, kqs = quant(kf)
+    vq, vqs = quant(vf)
+    lyr = 1
+    got = np.asarray(
+        cross_attention_step(
+            q, jnp.asarray(kq), jnp.asarray(vq), jnp.int32(lyr),
+            k_scale=jnp.asarray(kqs), v_scale=jnp.asarray(vqs), interpret=True,
+        )
+    )
+    for a in range(A):
+        for g in range(G):
+            for h in range(H):
+                qk = (
+                    np.asarray(q[a, g, h]) @ kq[lyr, a, h].astype(np.float32).T
+                ) * kqs[lyr, a, h, :, 0]
+                e = np.exp(qk - qk.max())
+                w = e / e.sum()
+                ref = (w * vqs[lyr, a, h, :, 0]) @ vq[lyr, a, h].astype(np.float32)
+                np.testing.assert_allclose(got[a, g, h], ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture()
+def pallas_interpret_env(monkeypatch):
+    monkeypatch.setenv("WHISPER_PALLAS_DECODE", "interpret")
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_decoder_step_matches_xla(quant, monkeypatch):
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 80, 3000)).astype(np.float32) * 0.3)
+    xa = encoder_forward(params, mel, DIMS)
+
+    ckv = precompute_cross_kv(params, xa, DIMS, quantize=quant)
+    cache = KVCache.init(DIMS, 8, dtype=xa.dtype, quantize=quant)
+    toks = jnp.asarray(rng.integers(0, 900, (8, 5)), jnp.int32)
+    _, cache = decoder_forward(
+        params, toks, jnp.int32(0), ckv, cache, DIMS, cross_group=2
+    )
+    tok1 = jnp.asarray(rng.integers(0, 900, (8, 1)), jnp.int32)
+    ks = jnp.asarray([0, 0, 1, 1, 2, 2, 0, 0], jnp.int32)
+
+    def step():
+        return decoder_forward(
+            params, tok1, jnp.int32(5), ckv, cache, DIMS,
+            key_start=ks, cross_group=2, ctx_window=128,
+        )
+
+    monkeypatch.setenv("WHISPER_PALLAS_DECODE", "0")
+    ref, ref_cache = step()
+    monkeypatch.setenv("WHISPER_PALLAS_DECODE", "interpret")
+    got, got_cache = step()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k), np.asarray(ref_cache.k), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_greedy_decode_with_pallas_kernels(monkeypatch):
+    """Whole jitted greedy window decode with the kernels active matches the
+    XLA path token for token."""
+    cfg = FilterConfig(
+        n_vocab=1000, token_id_eot=500, token_id_space=7,
+        token_id_ts_begin=600, token_id_no_timestamps=599,
+        suppress_blank=True, timestamps=True, suppress_ids=(3, 5),
+        max_initial_timestamp_index=50,
+    )
+    params = init_params(jax.random.PRNGKey(42), DIMS)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3)
+    initial = jnp.asarray([[501]] * 2, jnp.int32)
+
+    def run():
+        return decode_greedy(
+            params, mel, initial, jnp.int32(1), jnp.int32(0), DIMS, cfg,
+            GreedyMode(), 8, no_speech_id=502,
+        )
+
+    monkeypatch.setenv("WHISPER_PALLAS_DECODE", "0")
+    ref = run()
+    monkeypatch.setenv("WHISPER_PALLAS_DECODE", "interpret")
+    got = run()
+    np.testing.assert_array_equal(
+        np.asarray(got.candidates), np.asarray(ref.candidates)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(ref.scores), rtol=1e-4, atol=1e-4
+    )

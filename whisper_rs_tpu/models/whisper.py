@@ -28,6 +28,7 @@ logits via the tied token embedding (model.rs:521).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -36,6 +37,25 @@ import numpy as np
 from jax import lax
 
 from ..config import ModelDims
+
+
+def _pallas_decode_mode() -> Optional[str]:
+    """Whether the incremental decode step should use the fused Pallas
+    attention kernels (ops/decode_attention.py).
+
+    Currently OPT-IN (measured perf-neutral vs XLA on v5e at b8/b32 —
+    the round-1 step-cost gap turned out not to be the K/V slicing
+    copies; see tools/ablate_step.py).  Env WHISPER_PALLAS_DECODE:
+    "1" enables compiled kernels (TPU), "interpret" runs them in
+    interpreter mode (CPU parity tests), unset/"0" uses the XLA path.
+    Read at trace time.
+    """
+    env = os.environ.get("WHISPER_PALLAS_DECODE", "0")
+    if env == "interpret":
+        return "interpret"
+    if env == "1":
+        return "compiled"
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -444,13 +464,34 @@ def decoder_forward(
     quantized_cross = cross_kv.k_scale is not None
     quantized_self = cache.quantized
 
+    # Fused Pallas attention for the incremental step (T==1): K/V tiles are
+    # DMA'd straight from the stacked HBM arrays (layer index as a
+    # scalar-prefetch block coordinate), skipping the per-layer
+    # dynamic-slice copies of the cache and the scan-xs copies of the
+    # cross-K/V — the two streams that dominated the round-1 step cost.
+    # key_start support rides through the kernel's mask; batched per-row
+    # prompts therefore work identically.
+    pallas_mode = _pallas_decode_mode() if T == 1 else None
+    pallas_interpret = pallas_mode == "interpret"
+    if pallas_mode is not None:
+        from ..ops.decode_attention import (
+            cross_attention_step,
+            self_attention_step,
+        )
+
+        ks_arg = key_start if key_start is not None else jnp.zeros((B,), jnp.int32)
+        n_groups = B // cross_group
+
     def block(carry, layer_in):
         if quantized_self:
             x, k_all, v_all, ks_all, vs_all = carry
         else:
             x, k_all, v_all = carry
             ks_all = vs_all = None
-        if quantized_cross:
+        if pallas_mode is not None:
+            bp, l = layer_in
+            ck = cv = ck_s = cv_s = None
+        elif quantized_cross:
             bp, ck, cv, ck_s, cv_s, l = layer_in
         else:
             bp, ck, cv, l = layer_in
@@ -475,27 +516,53 @@ def decoder_forward(
         )  # [L, B, H, n_ctx, dh]
         v_all = lax.dynamic_update_slice(v_all, v_new[None], (l, 0, 0, pos_offset, 0))
 
-        def layer_slice(buf, last):
-            if buf is None:
-                return None
-            return lax.dynamic_slice(
-                buf, (l, 0, 0, 0, 0), (1, B, n_head, W, last)
-            )[0]
+        if pallas_mode is not None:
+            attn = self_attention_step(
+                q[:, :, 0, :],
+                k_all,
+                v_all,
+                l,
+                pos_offset,
+                ks_arg,
+                window=W,
+                k_scale=ks_all,
+                v_scale=vs_all,
+                interpret=pallas_interpret,
+            )[:, :, None, :]
+        else:
 
-        attn = _attend(
-            q,
-            layer_slice(k_all, d_head),
-            layer_slice(v_all, d_head),
-            self_mask,
-            layer_slice(ks_all, 1),
-            layer_slice(vs_all, 1),
-        )
+            def layer_slice(buf, last):
+                if buf is None:
+                    return None
+                return lax.dynamic_slice(
+                    buf, (l, 0, 0, 0, 0), (1, B, n_head, W, last)
+                )[0]
+
+            attn = _attend(
+                q,
+                layer_slice(k_all, d_head),
+                layer_slice(v_all, d_head),
+                self_mask,
+                layer_slice(ks_all, 1),
+                layer_slice(vs_all, 1),
+            )
         x = x + linear(_merge_heads(attn), bp["attn"]["out"])
 
         # -- cross-attention against precomputed encoder K/V ---------------
         h = layer_norm(x, bp["cross_attn_ln"])
         qx = _split_heads(linear(h, bp["cross_attn"]["query"]), n_head) * scale
-        attn = _attend_grouped(qx, ck, cv, cross_group, ck_s, cv_s)
+        if pallas_mode is not None:
+            attn = cross_attention_step(
+                qx[:, :, 0, :].reshape(n_groups, cross_group, n_head, d_head),
+                cross_kv.k,
+                cross_kv.v,
+                l,
+                k_scale=cross_kv.k_scale,
+                v_scale=cross_kv.v_scale,
+                interpret=pallas_interpret,
+            ).reshape(B, n_head, 1, d_head)
+        else:
+            attn = _attend_grouped(qx, ck, cv, cross_group, ck_s, cv_s)
         x = x + linear(_merge_heads(attn), bp["cross_attn"]["out"])
 
         # -- MLP ------------------------------------------------------------
@@ -505,10 +572,15 @@ def decoder_forward(
             return (x, k_all, v_all, ks_all, vs_all), None
         return (x, k_all, v_all), None
 
-    layer_xs = (dec["blocks"], cross_kv.k, cross_kv.v)
-    if quantized_cross:
-        layer_xs = layer_xs + (cross_kv.k_scale, cross_kv.v_scale)
-    layer_xs = layer_xs + (jnp.arange(dims.n_text_layer),)
+    if pallas_mode is not None:
+        # cross-K/V read inside the kernel straight from HBM — keep it out
+        # of the scan xs (xs slicing would copy [B, H, 1500, dh] per layer)
+        layer_xs = (dec["blocks"], jnp.arange(dims.n_text_layer))
+    else:
+        layer_xs = (dec["blocks"], cross_kv.k, cross_kv.v)
+        if quantized_cross:
+            layer_xs = layer_xs + (cross_kv.k_scale, cross_kv.v_scale)
+        layer_xs = layer_xs + (jnp.arange(dims.n_text_layer),)
     if quantized_self:
         carry0 = (x, cache.k, cache.v, cache.k_scale, cache.v_scale)
         (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(block, carry0, layer_xs)
