@@ -27,7 +27,7 @@ CFG = FilterConfig(
 )
 
 
-def _decode(params, mel, mode, rng_key=None):
+def _decode(params, mel, mode, rng_key=None, temperature=None):
     initial = np.asarray([[501]] * mel.shape[0], np.int32)
     return decode_greedy(
         params,
@@ -41,6 +41,7 @@ def _decode(params, mel, mode, rng_key=None):
         8,
         no_speech_id=502,
         rng_key=rng_key,
+        temperature=temperature,
     )
 
 
@@ -145,8 +146,9 @@ def test_temperature_ladder_retries(monkeypatch):
         def set_prompt(self, p):
             pass
 
-        def run(self, mel):
-            calls.append(self.temperature)
+        def run(self, mel, temperature=None):
+            # the shared sampling task receives the rung as a runtime arg
+            calls.append(self.temperature if temperature is None else temperature)
             return [self.outputs.pop(0)]
 
     bad = DecodeOutput(
@@ -173,10 +175,9 @@ def test_temperature_ladder_retries(monkeypatch):
         temperatures=(0.0, 0.4), condition_on_prev_text=False
     )
     t0 = StubTask(0.0, [bad])
-    t4 = StubTask(0.4, [good])
+    t4 = StubTask(None, [good])
     task.decode_task = t0
-    task._fallback_tasks = {0.4: t4}
-    task._task_for_temperature = lambda t: t0 if t == 0.0 else t4
+    task._fallback_tasks = {"sampling": t4}
 
     mel = np.zeros((80, 100), np.float32)
     out = task.run(None, mel=mel)
@@ -210,3 +211,30 @@ def test_checkpoint_preserves_int8(tmp_path):
         elif jnp.issubdtype(leaf_o.dtype, jnp.floating):
             assert leaf_l.dtype == jnp.bfloat16, path_l
     assert n_int8 > 0
+
+
+def test_traced_temperature_single_executable():
+    """A traced temperature scalar reproduces the static-temperature decode
+    exactly, and one jitted executable serves every rung (round-1 weak #8:
+    one compile per ladder rung)."""
+    import jax.numpy as jnp
+
+    params = init_params(jax.random.PRNGKey(5), DIMS)
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3
+
+    def run_traced(t):
+        return _decode(
+            params, mel, GreedyMode(group_size=2),
+            rng_key=jax.random.PRNGKey(7), temperature=jnp.float32(t),
+        )
+
+    for t in (0.0, 0.8):
+        ref = _decode(
+            params, mel, GreedyMode(group_size=2, temperature=t),
+            rng_key=jax.random.PRNGKey(7),
+        )
+        got = run_traced(t)
+        np.testing.assert_array_equal(
+            np.asarray(got.candidates), np.asarray(ref.candidates)
+        )

@@ -49,7 +49,7 @@ class StubDecodeTask:
     def set_prompt(self, prompt):
         self.prompts.append(list(prompt) if prompt is not None else None)
 
-    def run(self, mel):
+    def run(self, mel, temperature=None):
         toks = np.asarray(self.outputs.pop(0), np.int64)
         return [
             DecodeOutput(

@@ -180,8 +180,18 @@ def _greedy_update(logits, tokens, pos, sum_logprobs, finished, eot,
     """Greedy/sampling extractor semantics (greedy.rs:22-53 / OpenAI
     GreedyDecoder): argmax (or temperature-sample — the reference left this
     ``unimplemented!``, greedy.rs:27-29) next token; accumulate logprob only
-    for still-live rows; pin finished rows to EOT."""
-    if temperature and temperature > 0.0:
+    for still-live rows; pin finished rows to EOT.
+
+    ``temperature`` may be a TRACED scalar: one compiled executable then
+    serves the whole fallback ladder (0.2, 0.4, ...) instead of one
+    compile per rung (round-1 serving-latency foot-gun)."""
+    if isinstance(temperature, jnp.ndarray):
+        sampled = jax.random.categorical(
+            rng, logits / jnp.maximum(temperature, 1e-6), axis=-1
+        ).astype(jnp.int32)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(temperature > 0.0, sampled, greedy)
+    elif temperature and temperature > 0.0:
         next_tok = jax.random.categorical(
             rng, logits / temperature, axis=-1
         ).astype(jnp.int32)
@@ -213,12 +223,15 @@ def decode_greedy(
     key_start=None,
     rng_key=None,
     quantize_kv: bool = False,
+    temperature=None,  # traced scalar override of mode.temperature
 ) -> DecodeResult:
     eot = cfg.token_id_eot
     n_ctx = dims.n_text_ctx
     group = mode.group_size
-    temperature = mode.temperature
-    if temperature > 0.0 and rng_key is None:
+    if temperature is None:
+        temperature = mode.temperature
+    traced_temp = isinstance(temperature, jnp.ndarray)
+    if (traced_temp or temperature > 0.0) and rng_key is None:
         rng_key = jax.random.PRNGKey(0)
 
     (tokens, first_logits, cache, cross_kv, no_speech, feats, key_start) = _encode_and_prefill(
@@ -229,7 +242,7 @@ def decode_greedy(
     n_audio = B // group
 
     def step_rng(pos):
-        if temperature > 0.0:
+        if traced_temp or temperature > 0.0:
             return jax.random.fold_in(rng_key, pos)
         return None
 
@@ -426,6 +439,7 @@ def decode_beam(
     key_start=None,
     rng_key=None,  # unused (beam search is deterministic); signature parity
     quantize_kv: bool = False,
+    temperature=None,  # unused; signature parity with decode_greedy
 ) -> DecodeResult:
     beam = mode.beam_size
     # max finished candidates per audio (beam_search.rs:122-124)

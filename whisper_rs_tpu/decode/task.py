@@ -99,8 +99,14 @@ class DecodeTask:
 
     # -- compiled window function ------------------------------------------
 
-    def _window_fn(self, n_audio: int, prefill_width: int, with_key_start: bool = False):
-        key = (n_audio, prefill_width, with_key_start)
+    def _window_fn(
+        self,
+        n_audio: int,
+        prefill_width: int,
+        with_key_start: bool = False,
+        with_temperature: bool = False,
+    ):
+        key = (n_audio, prefill_width, with_key_start, with_temperature)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -115,7 +121,8 @@ class DecodeTask:
 
         decode_fn = decode_greedy if isinstance(mode, GreedyMode) else decode_beam
 
-        def run(params, mel, initial_tokens, sample_begin, sot_idx, key_start=None):
+        def run(params, mel, initial_tokens, sample_begin, sot_idx,
+                key_start=None, temperature=None):
             result = decode_fn(
                 params,
                 mel,
@@ -130,6 +137,7 @@ class DecodeTask:
                 compute_dtype,
                 key_start=key_start,
                 quantize_kv=quantize_kv,
+                temperature=temperature,
             )
             selected, avg_logprob, lengths = rank_max_likelihood(
                 result, sample_begin, eot, length_penalty
@@ -168,7 +176,7 @@ class DecodeTask:
 
     # -- run ---------------------------------------------------------------
 
-    def run(self, mel) -> List[DecodeOutput]:
+    def run(self, mel, temperature: Optional[float] = None) -> List[DecodeOutput]:
         """mel: [n_mels, 3000] or [n_audio, n_mels, 3000] -> one DecodeOutput
         per audio (reference run/run_inner, decode/mod.rs:284-418).  The
         current prompt (set_prompt) applies to every row; delegates to the
@@ -176,9 +184,13 @@ class DecodeTask:
         mel = jnp.asarray(mel)
         if mel.ndim == 2:
             mel = mel[None]
-        return self.run_batch(mel, [self._prompt_tokens] * mel.shape[0])
+        return self.run_batch(
+            mel, [self._prompt_tokens] * mel.shape[0], temperature=temperature
+        )
 
-    def run_batch(self, mel, prompts) -> List[DecodeOutput]:
+    def run_batch(
+        self, mel, prompts, temperature: Optional[float] = None
+    ) -> List[DecodeOutput]:
         """Batched decode with PER-UTTERANCE prompts.
 
         mel: [n_audio, n_mels, 3000]; prompts: list of per-utterance token
@@ -187,6 +199,11 @@ class DecodeTask:
         (prompt.build_batch_prompts), so mixed prompt lengths batch into a
         single jitted call — the backbone of the data-parallel transcribe
         driver.
+
+        ``temperature`` overrides GreedyMode's static temperature as a
+        TRACED scalar: all rungs of a fallback ladder then share one
+        compiled executable (0.0 still means pure argmax, selected
+        on-device).
         """
         mel = jnp.asarray(mel)
         if mel.ndim == 2:
@@ -201,15 +218,26 @@ class DecodeTask:
             self.tokenizer.token_id_startofprev,
             self.dims.n_text_ctx,
         )
-        fn = self._window_fn(n_audio, tokens.shape[1], with_key_start=True)
-        result, selected, avg_logprob, lengths = fn(
+        with_temp = temperature is not None
+        if with_temp:
+            assert isinstance(self.options.mode, GreedyMode), (
+                "temperature override only applies to greedy/sampling mode"
+            )
+        fn = self._window_fn(
+            n_audio, tokens.shape[1], with_key_start=True,
+            with_temperature=with_temp,
+        )
+        args = [
             self.params,
             mel,
             jnp.asarray(tokens),
             jnp.int32(sample_begin),
             jnp.int32(sot_idx),
             jnp.asarray(key_start),
-        )
+        ]
+        if with_temp:
+            args.append(jnp.float32(temperature))
+        result, selected, avg_logprob, lengths = fn(*args)
         return self._assemble(result, selected, avg_logprob, lengths,
                               sample_begin, n_audio)
 

@@ -185,17 +185,17 @@ class TranscribeTask:
         )
         self._fallback_tasks: dict = {}
 
-    def _task_for_temperature(self, t: float) -> DecodeTask:
-        """Decode task for one rung of the temperature ladder: t=0 keeps the
-        configured mode; t>0 switches to best-of-N sampling (OpenAI
-        semantics — beam search is not defined at temperature)."""
+    def _sampling_task(self) -> DecodeTask:
+        """Shared decode task for every t>0 rung of the temperature ladder:
+        best-of-N sampling (OpenAI semantics — beam search is not defined at
+        temperature).  ONE task/executable serves all rungs: the temperature
+        is a traced scalar passed at run time (run_batch(temperature=t)),
+        so the ladder costs one compile, not one per rung."""
         import dataclasses as _dc
 
         from .config import BeamSearchMode, GreedyMode
 
-        if t == 0.0:
-            return self.decode_task
-        if t not in self._fallback_tasks:
+        if "sampling" not in self._fallback_tasks:
             base_mode = self.options.decode.mode
             n = (
                 base_mode.beam_size
@@ -203,17 +203,16 @@ class TranscribeTask:
                 else getattr(base_mode, "group_size", 1) or 1
             )
             opts = _dc.replace(
-                self.options.decode,
-                mode=GreedyMode(group_size=max(n, 1), temperature=t),
+                self.options.decode, mode=GreedyMode(group_size=max(n, 1))
             )
-            self._fallback_tasks[t] = DecodeTask(
+            self._fallback_tasks["sampling"] = DecodeTask(
                 self._params,
                 self.dims,
                 self.tokenizer,
                 opts,
                 compute_dtype=self._compute_dtype,
             )
-        return self._fallback_tasks[t]
+        return self._fallback_tasks["sampling"]
 
     def run(self, audio, mel: Optional[np.ndarray] = None) -> TranscribeOutput:
         """audio: [n_samples] f32 at 16 kHz (or pass a precomputed
@@ -253,14 +252,13 @@ class TranscribeTask:
             ladder = opts.temperatures or (0.0,)
             result = None
             for idx, t in enumerate(ladder):
-                task = (
-                    self.decode_task
-                    if opts.temperatures is None
-                    else self._task_for_temperature(t)
-                )
+                if opts.temperatures is None or t == 0.0:
+                    task, temp = self.decode_task, None
+                else:
+                    task, temp = self._sampling_task(), t
                 if condition:
                     task.set_prompt(tokens)
-                result = task.run(window)[0]
+                result = task.run(window, temperature=temp)[0]
                 if idx == len(ladder) - 1 or opts.temperatures is None:
                     break
                 if not needs_fallback(opts, result.text, result.avg_logprob):
