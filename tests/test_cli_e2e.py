@@ -135,4 +135,8 @@ def test_cli_srt_format(checkpoint, tmp_path, capsys):
                "--sample-len", "4", "--dtype", "float32", "--format", "srt"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "1\n00:00:00,000 -->" in out
+    # SRT shape: index line, HH:MM:SS,mmm --> HH:MM:SS,mmm cue (the exact
+    # first timestamp depends on the random-weight decode)
+    import re
+
+    assert re.search(r"1\n\d\d:\d\d:\d\d,\d\d\d --> \d\d:\d\d:\d\d,\d\d\d\n", out)

@@ -45,8 +45,9 @@ def test_self_attention_kernel_oracle():
 
     got = np.asarray(
         self_attention_step(
-            q, k, v, jnp.int32(lyr), jnp.int32(pos), jnp.asarray(ks),
-            window=W, interpret=True,
+            # K cache is stored pre-transposed [L, B, H, dh, W] (KVCache)
+            q, k.swapaxes(-1, -2), v, jnp.int32(lyr), jnp.int32(pos),
+            jnp.asarray(ks), window=W, interpret=True,
         )
     )
 
@@ -80,7 +81,9 @@ def test_cross_attention_kernel_oracle_int8():
     lyr = 1
     got = np.asarray(
         cross_attention_step(
-            q, jnp.asarray(kq), jnp.asarray(vq), jnp.int32(lyr),
+            # K is stored pre-transposed [L, A, H, dh, Tk] (CrossKV layout)
+            q, jnp.asarray(kq).swapaxes(-1, -2), jnp.asarray(vq),
+            jnp.int32(lyr),
             k_scale=jnp.asarray(kqs), v_scale=jnp.asarray(vqs), interpret=True,
         )
     )

@@ -39,23 +39,32 @@ from jax import lax
 from ..config import ModelDims
 
 
-def _pallas_decode_mode() -> Optional[str]:
-    """Whether the incremental decode step should use the fused Pallas
-    attention kernels (ops/decode_attention.py).
+def _pallas_decode_mode() -> tuple:
+    """(use_self, use_cross, interpret) for the incremental decode step's
+    fused Pallas attention kernels (ops/decode_attention.py).
 
-    Currently OPT-IN (measured perf-neutral vs XLA on v5e at b8/b32 —
-    the round-1 step-cost gap turned out not to be the K/V slicing
-    copies; see tools/ablate_step.py).  Env WHISPER_PALLAS_DECODE:
-    "1" enables compiled kernels (TPU), "interpret" runs them in
-    interpreter mode (CPU parity tests), unset/"0" uses the XLA path.
-    Read at trace time.
+    Measured on v5e (tools/ablate_step.py, base.en b32): the cross kernel
+    beats the XLA einsum path ~1.5x-vs-2.3x-of-roofline (the scan-xs copy
+    plus a dot transpose), while both Pallas self-attention variants LOSE
+    to XLA's fused attention at these cache sizes — so "auto" (default)
+    enables only the cross kernel on TPU and nothing on CPU.  Env
+    WHISPER_PALLAS_DECODE: "0" none, "cross"/"self"/"1"(both) force
+    components, "interpret" = both kernels in interpreter mode (CPU parity
+    tests).  Read at trace time.
     """
-    env = os.environ.get("WHISPER_PALLAS_DECODE", "0")
+    env = os.environ.get("WHISPER_PALLAS_DECODE", "auto")
     if env == "interpret":
-        return "interpret"
+        return True, True, True
     if env == "1":
-        return "compiled"
-    return None
+        return True, True, False
+    if env == "self":
+        return True, False, False
+    if env == "cross":
+        return False, True, False
+    if env == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        return False, on_tpu, False
+    return False, False, False
 
 
 # ---------------------------------------------------------------------------
@@ -114,14 +123,14 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 def _attend(
     q: jnp.ndarray,  # [B, H, Tq, dh], already scaled
-    k: jnp.ndarray,  # [B, H, Tk, dh]
+    k: jnp.ndarray,  # [B, H, dh, Tk] — TRANSPOSED (see KVCache)
     v: jnp.ndarray,  # [B, H, Tk, dh]
     mask: Optional[jnp.ndarray],  # broadcastable to [B, H, Tq, Tk], additive
     k_scale: Optional[jnp.ndarray] = None,  # [B, H, Tk, 1] (int8 K/V mode)
     v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     qk = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k.astype(q.dtype), preferred_element_type=jnp.float32
+        "bhqd,bhdk->bhqk", q, k.astype(q.dtype), preferred_element_type=jnp.float32
     )
     if k_scale is not None:
         qk = qk * k_scale[:, :, :, 0][:, :, None, :]
@@ -135,7 +144,7 @@ def _attend(
 
 def _attend_grouped(
     q: jnp.ndarray,  # [A*G, H, Tq, dh], already scaled
-    k: jnp.ndarray,  # [A, H, Tk, dh] — shared by the G group members
+    k: jnp.ndarray,  # [A, H, dh, Tk] — TRANSPOSED, shared by the G group rows
     v: jnp.ndarray,  # [A, H, Tk, dh]
     group: int,
     k_scale: Optional[jnp.ndarray] = None,  # [A, H, Tk, 1] (int8 K/V)
@@ -146,15 +155,19 @@ def _attend_grouped(
     Beam search repeats each utterance group_size times along batch
     (decode/mod.rs:307-313); replicating the 1500-frame encoder K/V with it
     would multiply both HBM footprint and per-step read traffic by G, so the
-    K/V stays per-audio and the einsum carries the group axis.  Handles the
-    group==1 case too (plain batch-shared K/V) and int8-quantized K/V with
-    per-position scales (k scale applied to the logits, v scale folded into
-    the softmax weights)."""
+    K/V stays per-audio and the einsum carries the group axis.  K is stored
+    PRE-TRANSPOSED ([.., dh, Tk], done once per window in
+    precompute_cross_kv): both qk operands then contract MXU-natively, where
+    the [.., Tk, dh] layout made XLA re-transpose the 1500-frame K every
+    layer every step — the single largest decode-step HBM stream after the
+    reads themselves.  Handles group==1 (plain batch-shared K/V) and
+    int8-quantized K/V with per-position scales (k scale applied to the
+    logits, v scale folded into the softmax weights)."""
     AG, H, Tq, dh = q.shape
     A = k.shape[0]
     qg = q.reshape(A, AG // A, H, Tq, dh)
     qk = jnp.einsum(
-        "aghqd,ahkd->aghqk", qg, k.astype(q.dtype), preferred_element_type=jnp.float32
+        "aghqd,ahdk->aghqk", qg, k.astype(q.dtype), preferred_element_type=jnp.float32
     )
     if k_scale is not None:
         qk = qk * k_scale[:, None, :, :, 0][:, :, :, None, :]
@@ -188,7 +201,7 @@ def mha_self(x_ln: jnp.ndarray, p: dict, n_head: int, mask) -> jnp.ndarray:
 
         out = encoder_attention(q, k, v, scale)
     else:
-        out = _attend(q * scale, k, v, mask)
+        out = _attend(q * scale, k.swapaxes(-1, -2), v, mask)
     return linear(_merge_heads(out), p["out"])
 
 
@@ -266,9 +279,12 @@ def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndar
 class KVCache(NamedTuple):
     """Static-shape self-attention cache.
 
-    k, v: [L, B, H, n_text_ctx, dh].  Replaces the reference's concat-grow
-    ``Cached`` cells (model.rs:77-98).  Beam reorder = gather along B
-    (model.rs:53-62 ``update_cache``).
+    k: [L, B, H, dh, n_text_ctx] — TRANSPOSED so the per-step qk einsum
+    contracts MXU-natively (the [.., W, dh] layout made XLA re-transpose the
+    attended cache window every layer every step).
+    v: [L, B, H, n_text_ctx, dh] (the weighted-sum einsum is already native).
+    Replaces the reference's concat-grow ``Cached`` cells (model.rs:77-98).
+    Beam reorder = gather along B (model.rs:53-62 ``update_cache``).
 
     Optional int8 mode (``KVCache.init(..., quantize=True)``): k/v stored
     int8 with per-position scales ([L, B, H, n_text_ctx, 1]) — halves both
@@ -295,11 +311,12 @@ class KVCache(NamedTuple):
             dims.n_text_ctx,
             dims.head_dim,
         )
+        kshape = shape[:-2] + (dims.head_dim, dims.n_text_ctx)
         if not quantize:
-            return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            return KVCache(jnp.zeros(kshape, dtype), jnp.zeros(shape, dtype))
         sshape = shape[:-1] + (1,)
         return KVCache(
-            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(kshape, jnp.int8),
             jnp.zeros(shape, jnp.int8),
             jnp.ones(sshape, jnp.float32),
             jnp.ones(sshape, jnp.float32),
@@ -320,24 +337,30 @@ class KVCache(NamedTuple):
         (e.g. 256 -> n_ctx) as the position grows.
         """
 
-        def gather(buf):
+        def gather(buf, ctx_axis):
             if buf is None:
                 return None
-            if window is None or window >= buf.shape[3]:
+            if window is None or window >= buf.shape[ctx_axis]:
                 return jnp.take(buf, source_indices, axis=1)
-            w = jnp.take(buf[:, :, :, :window], source_indices, axis=1)
-            return lax.dynamic_update_slice(buf, w, (0, 0, 0, 0, 0))
+            sl = [slice(None)] * buf.ndim
+            sl[ctx_axis] = slice(0, window)
+            w = jnp.take(buf[tuple(sl)], source_indices, axis=1)
+            return lax.dynamic_update_slice(buf, w, (0,) * buf.ndim)
 
         return KVCache(
-            gather(self.k), gather(self.v),
-            gather(self.k_scale), gather(self.v_scale),
+            gather(self.k, 4),  # k: positions on the minor axis
+            gather(self.v, 3),
+            gather(self.k_scale, 3),
+            gather(self.v_scale, 3),
         )
 
 
 class CrossKV(NamedTuple):
     """Per-window cross-attention K/V computed once from encoder output
     (the reference's cache "threshold" reset trick, model.rs:84-90, made
-    explicit).  k, v: [L, B, H, n_audio_ctx, dh].
+    explicit).  k: [L, B, H, dh, n_audio_ctx] (pre-transposed for an
+    MXU-native qk contraction — see _attend_grouped); v:
+    [L, B, H, n_audio_ctx, dh].
 
     When ``k_scale``/``v_scale`` are set, k/v are stored int8 with
     per-position scales ([L, B, H, n_audio_ctx, 1]) — the cross-K/V stream
@@ -368,16 +391,16 @@ def precompute_cross_kv(
 
     def per_layer(bp):
         ca = bp["cross_attn"]
-        k = _split_heads(linear(xa, ca["key"]), n_head)
+        k = _split_heads(linear(xa, ca["key"]), n_head)  # [B, H, Tk, dh]
         v = _split_heads(linear(xa, ca["value"]), n_head)
         return k, v
 
     k, v = jax.vmap(per_layer)(params["decoder"]["blocks"])
     if not quantize:
-        return CrossKV(k, v)
-    kq, ks = _quantize_kv(k)
+        return CrossKV(k.swapaxes(-1, -2), v)
+    kq, ks = _quantize_kv(k)  # per-position scales before the transpose
     vq, vs = _quantize_kv(v)
-    return CrossKV(kq, vq, ks, vs)
+    return CrossKV(kq.swapaxes(-1, -2), vq, ks, vs)
 
 
 def decoder_forward(
@@ -471,16 +494,23 @@ def decoder_forward(
     # cross-K/V — the two streams that dominated the round-1 step cost.
     # key_start support rides through the kernel's mask; batched per-row
     # prompts therefore work identically.
-    pallas_mode = _pallas_decode_mode() if T == 1 else None
-    pallas_interpret = pallas_mode == "interpret"
-    if pallas_mode is not None:
+    if T == 1:
+        pallas_self, pallas_cross, pallas_interpret = _pallas_decode_mode()
+    else:
+        pallas_self = pallas_cross = pallas_interpret = False
+    if pallas_self or pallas_cross:
         from ..ops.decode_attention import (
+            cross_attention_pallas_ok,
             cross_attention_step,
             self_attention_step,
         )
 
         ks_arg = key_start if key_start is not None else jnp.zeros((B,), jnp.int32)
         n_groups = B // cross_group
+        pallas_cross = pallas_cross and cross_attention_pallas_ok(
+            n_head, cross_kv.k.shape[-1], d_head, cross_kv.k.dtype.itemsize,
+            quantized_cross,
+        )
 
     def block(carry, layer_in):
         if quantized_self:
@@ -488,7 +518,7 @@ def decoder_forward(
         else:
             x, k_all, v_all = carry
             ks_all = vs_all = None
-        if pallas_mode is not None:
+        if pallas_cross:
             bp, l = layer_in
             ck = cv = ck_s = cv_s = None
         elif quantized_cross:
@@ -512,11 +542,11 @@ def decoder_forward(
                 vs_all, v_new_s[None], (l, 0, 0, pos_offset, 0)
             )
         k_all = lax.dynamic_update_slice(
-            k_all, k_new[None], (l, 0, 0, pos_offset, 0)
-        )  # [L, B, H, n_ctx, dh]
+            k_all, k_new.swapaxes(-1, -2)[None], (l, 0, 0, 0, pos_offset)
+        )  # [L, B, H, dh, n_ctx] — transposed layout (see KVCache)
         v_all = lax.dynamic_update_slice(v_all, v_new[None], (l, 0, 0, pos_offset, 0))
 
-        if pallas_mode is not None:
+        if pallas_self:
             attn = self_attention_step(
                 q[:, :, 0, :],
                 k_all,
@@ -531,16 +561,19 @@ def decoder_forward(
             )[:, :, None, :]
         else:
 
-            def layer_slice(buf, last):
+            def layer_slice(buf, last, k_layout=False):
                 if buf is None:
                     return None
-                return lax.dynamic_slice(
-                    buf, (l, 0, 0, 0, 0), (1, B, n_head, W, last)
-                )[0]
+                sizes = (
+                    (1, B, n_head, d_head, W)
+                    if k_layout
+                    else (1, B, n_head, W, last)
+                )
+                return lax.dynamic_slice(buf, (l, 0, 0, 0, 0), sizes)[0]
 
             attn = _attend(
                 q,
-                layer_slice(k_all, d_head),
+                layer_slice(k_all, d_head, k_layout=True),
                 layer_slice(v_all, d_head),
                 self_mask,
                 layer_slice(ks_all, 1),
@@ -551,7 +584,7 @@ def decoder_forward(
         # -- cross-attention against precomputed encoder K/V ---------------
         h = layer_norm(x, bp["cross_attn_ln"])
         qx = _split_heads(linear(h, bp["cross_attn"]["query"]), n_head) * scale
-        if pallas_mode is not None:
+        if pallas_cross:
             attn = cross_attention_step(
                 qx[:, :, 0, :].reshape(n_groups, cross_group, n_head, d_head),
                 cross_kv.k,
@@ -572,7 +605,7 @@ def decoder_forward(
             return (x, k_all, v_all, ks_all, vs_all), None
         return (x, k_all, v_all), None
 
-    if pallas_mode is not None:
+    if pallas_cross:
         # cross-K/V read inside the kernel straight from HBM — keep it out
         # of the scan xs (xs slicing would copy [B, H, 1500, dh] per layer)
         layer_xs = (dec["blocks"], jnp.arange(dims.n_text_layer))

@@ -17,14 +17,17 @@ qk in f32, additive causal/key_start mask, f32 softmax, optional int8 K/V
 with per-position scales (k scale on the logits, v scale on the softmax
 weights).
 
-Mosaic constraints shaping the design (see ROADMAP "facts"):
-  * dynamic sublane slices must be 8-aligned -> heads are never sliced
-    dynamically; the self kernel runs one program per batch row with a
-    STATIC unrolled head loop (leading block dims take static indices
-    freely), and per-head rows of 2-D blocks are selected with masked
-    reductions;
+Mosaic constraints + perf findings shaping the design (see ROADMAP):
+  * the workload is a matvec (one query token) — per-head MXU dots cost
+    ~1 us of fixed latency each and dominated the first version; both
+    kernels instead compute ALL heads at once on the VPU
+    (broadcast-multiply + reduce over dh), which is bandwidth-bound as it
+    should be;
+  * dynamic sublane slices must be 8-aligned -> heads are never sliced;
   * blocks with a trailing length-1 lane dim pad 1 -> 128 in VMEM, so the
-    per-position int8 scales are passed squeezed to 4-D.
+    per-position int8 scales are passed squeezed to 4-D;
+  * products are upcast to f32 BEFORE the multiply so the VPU reduction
+    matches the MXU's f32 accumulation.
 
 Reference seam being accelerated: the per-step decoder attention of
 model.rs:186-206 driven from decode/mod.rs:236-244.
@@ -43,15 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9  # finite mask value (NaN-free, matches decode loop's BIG_NEG)
 
 
-def _row(block2d: jnp.ndarray, h) -> jnp.ndarray:
-    """Select row h of a [H, N] block as [1, N] via masked reduction
-    (Mosaic-safe for unaligned/dynamic h)."""
-    H = block2d.shape[0]
+def _row(block2d: jnp.ndarray, h: int) -> jnp.ndarray:
+    """Row h of a [H, N] block as [1, N] via masked reduction (Mosaic-safe
+    for sublane offsets that aren't 8-aligned)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, block2d.shape, 0)
     zero = jnp.zeros((), block2d.dtype)
-    return jnp.sum(
-        jnp.where(rows == h, block2d, zero), axis=0, keepdims=True
-    )
+    return jnp.sum(jnp.where(rows == h, block2d, zero), axis=0, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -66,59 +66,41 @@ def _self_attn_kernel(
     ks_ref,  # [B] first valid cache slot per row
     # tensor blocks
     q_ref,  # [1, H, dh]
-    k_ref,  # [1, 1, 1, H, W, dh]  (cache viewed [L, B, 1, H, W, dh])
-    v_ref,
+    k_ref,  # [1, 1, 1, H, dh, W]  (transposed cache viewed [L,B,1,H,dh,ctx])
+    v_ref,  # [1, 1, 1, H, W, dh]
     ks_scale_ref,  # [1, 1, H, W] f32 or None
     vs_scale_ref,
     o_ref,  # [1, H, dh]
 ):
     b = pl.program_id(0)
     _, H, dh = q_ref.shape
-    W = k_ref.shape[4]
+    W = k_ref.shape[5]
+
+    q = q_ref[0].astype(jnp.float32)  # [H, dh]
+    k = k_ref[0, 0, 0].astype(jnp.float32)  # [H, dh, W]
+    qk = jnp.sum(q[:, :, None] * k, axis=1)  # [H, W] f32, all heads on VPU
+    if ks_scale_ref is not None:
+        qk = qk * ks_scale_ref[0, 0]  # [H, W]
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     visible = (ids <= pos_ref[0]) & (ids >= ks_ref[b])
+    qk = jnp.where(visible, qk, NEG)
 
-    qblk = q_ref[0]  # [H, dh], compute dtype
-    acc = jnp.zeros((H, dh), jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, dh), 0)
-    for h in range(H):  # static unroll: leading-dim indices are free
-        q = _row(qblk, h)  # [1, dh]
-        k = k_ref[0, 0, 0, h]  # [W, dh]
-        if k_ref.dtype == jnp.int8:
-            k = k.astype(qblk.dtype)
-        qk = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, W]
-        if ks_scale_ref is not None:
-            qk = qk * _row(ks_scale_ref[0, 0], h)
-        qk = jnp.where(visible, qk, NEG)
-        m = jnp.max(qk, axis=-1, keepdims=True)
-        e = jnp.exp(qk - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)  # [1, W] f32
-        if vs_scale_ref is not None:
-            w = w * _row(vs_scale_ref[0, 0], h)
-        v = v_ref[0, 0, 0, h]
-        if v_ref.dtype == jnp.int8:
-            w = w.astype(jnp.float32)
-            v = v.astype(jnp.float32)
-        else:
-            w = w.astype(v_ref.dtype)
-        out = jax.lax.dot_general(
-            w, v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [1, dh]
-        acc = jnp.where(rows == h, out, acc)
-    o_ref[0] = acc.astype(o_ref.dtype)
+    m = jnp.max(qk, axis=-1, keepdims=True)
+    e = jnp.exp(qk - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)  # [H, W] f32
+    if vs_scale_ref is not None:
+        w = w * vs_scale_ref[0, 0]
+
+    v = v_ref[0, 0, 0].astype(jnp.float32)  # [H, W, dh]
+    out = jnp.sum(w[:, :, None] * v, axis=1)  # [H, dh]
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def self_attention_step(
     q: jnp.ndarray,  # [B, H, dh], pre-scaled
-    k_all: jnp.ndarray,  # [L, B, H, n_ctx, dh]
-    v_all: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, B, H, dh, n_ctx] (transposed, see KVCache)
+    v_all: jnp.ndarray,  # [L, B, H, n_ctx, dh]
     layer: jnp.ndarray,  # scalar i32
     q_pos: jnp.ndarray,  # scalar i32: absolute position of the query token
     key_start: Optional[jnp.ndarray],  # [B] i32 or None
@@ -129,17 +111,20 @@ def self_attention_step(
     interpret: bool = False,
 ) -> jnp.ndarray:  # [B, H, dh]
     B, H, dh = q.shape
-    L, _, _, n_ctx, _ = k_all.shape
+    n_ctx = v_all.shape[3]
+    L = k_all.shape[0]
     W = min(window, n_ctx)
     if key_start is None:
         key_start = jnp.zeros((B,), jnp.int32)
 
-    # free reshapes: [L,B,H,ctx,dh] -> [L,B,1,H,ctx,dh] gives the kernel one
-    # contiguous (H, W, dh) tile per (layer, row); trailing-1 scale squeeze
-    kv_shape = (L, B, 1, H, n_ctx, dh)
-    k6 = k_all.reshape(kv_shape)
-    v6 = v_all.reshape(kv_shape)
-    kv_spec = pl.BlockSpec(
+    # free reshapes: a dummy axis gives the kernel one contiguous per-row
+    # tile per (layer, row); trailing-1 scale squeeze
+    k6 = k_all.reshape(L, B, 1, H, dh, n_ctx)
+    v6 = v_all.reshape(L, B, 1, H, n_ctx, dh)
+    k_spec = pl.BlockSpec(
+        (1, 1, 1, H, dh, W), lambda b, l, p, s: (l[0], b, 0, 0, 0, 0)
+    )
+    v_spec = pl.BlockSpec(
         (1, 1, 1, H, W, dh), lambda b, l, p, s: (l[0], b, 0, 0, 0, 0)
     )
 
@@ -148,14 +133,14 @@ def self_attention_step(
         scale_spec = pl.BlockSpec(
             (1, 1, H, W), lambda b, l, p, s: (l[0], b, 0, 0)
         )
-        in_specs = [kv_spec, kv_spec, scale_spec, scale_spec]
+        in_specs = [k_spec, v_spec, scale_spec, scale_spec]
         extra = (
             k_scale.reshape(L, B, H, n_ctx),
             v_scale.reshape(L, B, H, n_ctx),
         )
         kernel = _self_attn_kernel
     else:
-        in_specs = [kv_spec, kv_spec]
+        in_specs = [k_spec, v_spec]
         extra = ()
         kernel = functools.partial(
             _kernel_no_scales, _self_attn_kernel, n_scalars=3
@@ -200,52 +185,88 @@ def _kernel_no_scales(kernel, *refs, n_scalars: int):
 
 def _cross_attn_kernel(
     l_ref,  # [1]
-    q_ref,  # [1, 1, G, dh]
-    k_ref,  # [1, 1, 1, Tk, dh]
-    v_ref,
-    ks_scale_ref,  # [1, 1, H, Tk] f32 or None (whole-audio block; row h)
+    q_ref,  # [1, hc, G, dh]
+    k_ref,  # [1, 1, hc, dh, Tk]  (K pre-transposed, see CrossKV)
+    v_ref,  # [1, 1, hc, Tk, dh]
+    ks_scale_ref,  # [1, 1, hc, Tk] f32 or None
     vs_scale_ref,
-    o_ref,  # [1, 1, G, dh]
+    o_ref,  # [1, hc, G, dh]
 ):
-    h = pl.program_id(1)
-    Tk = k_ref.shape[3]
-    q = q_ref[0, 0]  # [G, dh], compute dtype
-    k = k_ref[0, 0, 0]  # [Tk, dh]
-    if k_ref.dtype == jnp.int8:
-        k = k.astype(q_ref.dtype)
+    _, hc, G, dh = q_ref.shape
+    Tk = k_ref.shape[4]
 
-    qk = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [G, Tk]
-    if ks_scale_ref is not None:
-        qk = qk * _row(ks_scale_ref[0, 0], h)
+    # MXU dots per head: [G, dh] @ [dh, Tk] is the native MXU form thanks
+    # to the pre-transposed K.  G and hc are tiny static ints.
+    outs = []
+    for h in range(hc):
+        q = q_ref[0, h]  # [G, dh] (leading-dim static index: free)
+        k = k_ref[0, 0, h]  # [dh, Tk]
+        if k_ref.dtype == jnp.int8:
+            k = k.astype(q_ref.dtype)
+        qk = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, Tk]
+        if ks_scale_ref is not None:
+            qk = qk * _row(ks_scale_ref[0, 0], h)
+        m = jnp.max(qk, axis=-1, keepdims=True)
+        e = jnp.exp(qk - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        if vs_scale_ref is not None:
+            w = w * _row(vs_scale_ref[0, 0], h)
+        v = v_ref[0, 0, h]
+        if v_ref.dtype == jnp.int8:
+            w = w.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+        else:
+            w = w.astype(v_ref.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                w, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, None, :]  # [G, 1, dh]
+        )
+    out = outs[0] if hc == 1 else jnp.concatenate(outs, axis=1)  # [G, hc, dh]
+    o_ref[0] = out.transpose(1, 0, 2).astype(o_ref.dtype)
 
-    m = jnp.max(qk, axis=-1, keepdims=True)
-    e = jnp.exp(qk - m)
-    w = e / jnp.sum(e, axis=-1, keepdims=True)
-    if vs_scale_ref is not None:
-        w = w * _row(vs_scale_ref[0, 0], h)
 
-    v = v_ref[0, 0, 0]
-    if v_ref.dtype == jnp.int8:
-        w = w.astype(jnp.float32)
-        v = v.astype(jnp.float32)
-    else:
-        w = w.astype(v_ref.dtype)
-    out = jax.lax.dot_general(
-        w, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+def _cross_vmem_per_chunk(hc: int, Tk: int, dh: int, itemsize: int) -> int:
+    """Estimated VMEM: K+V blocks double-buffered + per-head dot temps
+    (an int8->compute upcast of one [Tk, dh] tile at a time)."""
+    blocks = 2 * 2 * hc * Tk * dh * itemsize
+    temps = 2 * Tk * dh * 4
+    return blocks + temps
+
+
+_CROSS_VMEM_BUDGET = 13 * 1024 * 1024  # scoped VMEM is 16 MB; leave slack
+
+
+def _cross_head_chunk(H: int, Tk: int, dh: int, itemsize: int) -> int:
+    """Largest divisor of H fitting the VMEM budget."""
+    for hc in range(H, 0, -1):
+        if H % hc == 0 and _cross_vmem_per_chunk(hc, Tk, dh, itemsize) <= _CROSS_VMEM_BUDGET:
+            return hc
+    return 1
+
+
+def cross_attention_pallas_ok(
+    H: int, Tk: int, dh: int, itemsize: int, quant: bool
+) -> bool:
+    """Whether the cross kernel supports this shape.  The quantized path
+    needs whole-H blocks (per-position scale BlockSpecs can't head-chunk
+    without violating Mosaic's second-minor alignment), which must then fit
+    VMEM; callers fall back to the XLA path otherwise."""
+    if not quant:
+        return True
+    return _cross_vmem_per_chunk(H, Tk, dh, itemsize) <= _CROSS_VMEM_BUDGET
 
 
 def cross_attention_step(
     q: jnp.ndarray,  # [A, G, H, dh], pre-scaled
-    k_all: jnp.ndarray,  # [L, A, H, Tk, dh]
-    v_all: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, A, H, dh, Tk] (pre-transposed, see CrossKV)
+    v_all: jnp.ndarray,  # [L, A, H, Tk, dh]
     layer: jnp.ndarray,  # scalar i32
     *,
     k_scale: Optional[jnp.ndarray] = None,  # [L, A, H, Tk, 1] f32
@@ -253,27 +274,36 @@ def cross_attention_step(
     interpret: bool = False,
 ) -> jnp.ndarray:  # [A, G, H, dh]
     A, G, H, dh = q.shape
-    L, _, _, Tk, _ = k_all.shape
-    # query laid out [A, H, G, dh] so the (a, h) block is contiguous
+    Tk = k_all.shape[-1]
+    # query laid out [A, H, G, dh] so the (a, head-chunk) block is contiguous
     q_t = q.transpose(0, 2, 1, 3)
 
-    kv_spec = pl.BlockSpec(
-        (1, 1, 1, Tk, dh), lambda a, h, l: (l[0], a, h, 0, 0)
+    # int8 K/V blocks are small enough for whole-H blocks, which the scale
+    # BlockSpec needs anyway (chunked scale blocks would violate Mosaic's
+    # second-minor-dim alignment for non-multiple-of-8 chunks)
+    hc = H if k_scale is not None else _cross_head_chunk(
+        H, Tk, dh, k_all.dtype.itemsize
+    )
+    k_spec = pl.BlockSpec(
+        (1, 1, hc, dh, Tk), lambda a, hj, l: (l[0], a, hj, 0, 0)
+    )
+    v_spec = pl.BlockSpec(
+        (1, 1, hc, Tk, dh), lambda a, hj, l: (l[0], a, hj, 0, 0)
     )
     quant = k_scale is not None
+    L = k_all.shape[0]
     if quant:
-        # whole [H, Tk] scale block per audio (revisited across h steps)
         scale_spec = pl.BlockSpec(
-            (1, 1, H, Tk), lambda a, h, l: (l[0], a, 0, 0)
+            (1, 1, hc, Tk), lambda a, hj, l: (l[0], a, hj, 0)
         )
-        in_specs = [kv_spec, kv_spec, scale_spec, scale_spec]
+        in_specs = [k_spec, v_spec, scale_spec, scale_spec]
         extra = (
             k_scale.reshape(L, A, H, Tk),
             v_scale.reshape(L, A, H, Tk),
         )
         kernel = _cross_attn_kernel
     else:
-        in_specs = [kv_spec, kv_spec]
+        in_specs = [k_spec, v_spec]
         extra = ()
         kernel = functools.partial(
             _kernel_no_scales, _cross_attn_kernel, n_scalars=1
@@ -281,12 +311,12 @@ def cross_attention_step(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(A, H),
+        grid=(A, H // hc),
         in_specs=[
-            pl.BlockSpec((1, 1, G, dh), lambda a, h, l: (a, h, 0, 0)),
+            pl.BlockSpec((1, hc, G, dh), lambda a, hj, l: (a, hj, 0, 0)),
             *in_specs,
         ],
-        out_specs=pl.BlockSpec((1, 1, G, dh), lambda a, h, l: (a, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, hc, G, dh), lambda a, hj, l: (a, hj, 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
