@@ -27,7 +27,7 @@ induction, so the outcomes are identical.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -124,7 +124,7 @@ def _encode_and_prefill(
 
 def _step_logits(
     params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin,
-    key_start=None, cross_group: int = 1, ctx_window=None,
+    key_start=None, cross_group: int = 1, ctx_window=None, ancestors=None,
 ):
     """One incremental decoder step: feed the token at pos-1, return
     filtered logits for position pos and the updated cache."""
@@ -134,7 +134,7 @@ def _step_logits(
     )  # [B, 1]
     logits, cache = decoder_forward(
         params, tok_in, pos - 1, cross_kv, cache, dims, key_start=key_start,
-        cross_group=cross_group, ctx_window=ctx_window,
+        cross_group=cross_group, ctx_window=ctx_window, ancestors=ancestors,
     )
     filtered = apply_filters(
         cfg, logits[:, 0].astype(jnp.float32), tokens, pos, sample_begin
@@ -323,6 +323,13 @@ class _BeamState(NamedTuple):
     fin_tokens: jnp.ndarray  # [n_audio, cap, n_ctx]
     fin_scores: jnp.ndarray  # [n_audio, cap]
     fin_count: jnp.ndarray  # [n_audio] i32
+    # gather-at-read ancestor table [B, n_ctx]: anc[b, j] = the PHYSICAL
+    # batch row holding logical beam b's K/V at position j.  The cache
+    # itself never moves; attention resolves rows per position
+    # (decoder_forward ``ancestors``).  Replaces the reference's physical
+    # update_cache permutation (beam_search.rs:111-114 -> model.rs:53-62),
+    # deleting the dominant per-step read+write stream of beam search.
+    anc: Optional[jnp.ndarray] = None
 
 
 def _beam_step(
@@ -378,10 +385,16 @@ def _beam_step(
 
     tokens = jnp.take(s.tokens, global_src, axis=0)
     tokens = lax.dynamic_update_slice(tokens, new_tok[:, None], (0, s.pos))
-    # NOTE: an identity-permutation fast path via lax.cond was tried and
-    # measured SLOWER (cond defeats in-loop buffer aliasing, forcing copies
-    # on the pass-through branch) — keep the unconditional windowed gather.
-    cache = s.cache.reorder(global_src, window=ctx_window)
+    if s.anc is not None:
+        # gather-at-read: only the [B, n_ctx] i32 ancestor table moves
+        anc = jnp.take(s.anc, global_src, axis=0)
+        cache = s.cache
+    else:
+        anc = None
+        # NOTE: an identity-permutation fast path via lax.cond was tried and
+        # measured SLOWER (cond defeats in-loop buffer aliasing, forcing
+        # copies on the pass-through branch) — unconditional windowed gather.
+        cache = s.cache.reorder(global_src, window=ctx_window)
 
     # ---- finished candidates -> capacity-capped buffer -------------------
     # The reference walks candidates in score order and STOPS after saving
@@ -421,6 +434,7 @@ def _beam_step(
         fin_tokens=fin_tokens,
         fin_scores=fin_scores,
         fin_count=fin_count,
+        anc=anc,
     )
 
 
@@ -459,6 +473,14 @@ def decode_beam(
         (jnp.arange(B) % beam) == 0, 0.0, BIG_NEG
     ).astype(jnp.float32)
 
+    # gather-at-read ancestor table (default; WHISPER_BEAM_ANCESTOR=0 falls
+    # back to physically permuting the cache every step)
+    import os as _os
+
+    use_anc = _os.environ.get("WHISPER_BEAM_ANCESTOR", "1") != "0"
+    ident = jnp.arange(B, dtype=jnp.int32)
+    anc0 = jnp.broadcast_to(ident[:, None], (B, n_ctx)) if use_anc else None
+
     init = _BeamState(
         step=jnp.int32(0),
         pos=sample_begin,
@@ -468,16 +490,18 @@ def decode_beam(
         fin_tokens=jnp.zeros((n_audio, cap, n_ctx), jnp.int32),
         fin_scores=jnp.full((n_audio, cap), BIG_NEG, jnp.float32),
         fin_count=jnp.zeros((n_audio,), jnp.int32),
+        anc=anc0,
     )
 
     phases = _phase_windows(n_ctx, initial_tokens.shape[1], sample_len)
 
     # first step uses the prefill logits (valid cache rows < prefill width
-    # <= first phase window)
+    # <= first phase window; prefill rows were written at identity rows, so
+    # the init ancestor table is already correct)
     s = _beam_step(first_logits, init, beam, cap, eot, ctx_window=phases[0])
 
-    # phased cache windows: caps both the attention reads and the per-step
-    # beam cache gather (the dominant beam-search HBM stream)
+    # phased cache windows: caps the attention reads (and, in fallback
+    # mode, the per-step beam cache gather)
     for W in phases:
 
         def cond(st: _BeamState, W=W):
@@ -485,9 +509,17 @@ def decode_beam(
             return (st.step < sample_len) & ~completed & (st.pos < W)
 
         def body(st: _BeamState, W=W):
+            anc = st.anc
+            if anc is not None:
+                # the K/V about to be read at slot pos-1 were written by
+                # each row itself after the last gather -> identity column
+                anc = lax.dynamic_update_slice(
+                    anc, ident[:, None], (0, st.pos - 1)
+                )
+                st = st._replace(anc=anc)
             logits, cache = _step_logits(
                 params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg,
-                sample_begin, key_start, beam, ctx_window=W,
+                sample_begin, key_start, beam, ctx_window=W, ancestors=anc,
             )
             st = st._replace(cache=cache)
             return _beam_step(logits, st, beam, cap, eot, ctx_window=W)

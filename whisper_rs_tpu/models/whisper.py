@@ -415,6 +415,7 @@ def decoder_forward(
     logit_positions: Optional[jnp.ndarray] = None,  # [K] rows of T to project
     cross_group: int = 1,  # beams/samples per audio sharing one cross-K/V
     ctx_window: Optional[int] = None,  # static cap on attended cache slots
+    ancestors: Optional[jnp.ndarray] = None,  # [B, n_ctx] global source rows
     logits_dtype=jnp.float32,
 ) -> tuple:
     """One decoder pass (prefill if T>1, incremental if T==1).
@@ -498,6 +499,8 @@ def decoder_forward(
         pallas_self, pallas_cross, pallas_interpret = _pallas_decode_mode()
     else:
         pallas_self = pallas_cross = pallas_interpret = False
+    # ancestor-resolved reads (beam search) stay on the XLA self path
+    pallas_self = pallas_self and ancestors is None
     if pallas_self or pallas_cross:
         from ..ops.decode_attention import (
             cross_attention_pallas_ok,
@@ -571,13 +574,29 @@ def decoder_forward(
                 )
                 return lax.dynamic_slice(buf, (l, 0, 0, 0, 0), sizes)[0]
 
+            def resolve(buf, k_layout=False):
+                # beam gather-at-read: element (b, .., j) comes from the
+                # batch row holding beam b's key at position j (the
+                # ancestor table replaces the reference's physical
+                # update_cache permutation, model.rs:53-62) — the cache
+                # itself never moves.
+                if buf is None or ancestors is None:
+                    return buf
+                idx = ancestors[:, :W]  # [B, W] global source rows
+                idx = idx[:, None, None, :] if k_layout else (
+                    idx[:, None, :, None]
+                )
+                return jnp.take_along_axis(
+                    buf, jnp.broadcast_to(idx, buf.shape), axis=0
+                )
+
             attn = _attend(
                 q,
-                layer_slice(k_all, d_head, k_layout=True),
-                layer_slice(v_all, d_head),
+                resolve(layer_slice(k_all, d_head, k_layout=True), True),
+                resolve(layer_slice(v_all, d_head)),
                 self_mask,
-                layer_slice(ks_all, 1),
-                layer_slice(vs_all, 1),
+                resolve(layer_slice(ks_all, 1)),
+                resolve(layer_slice(vs_all, 1)),
             )
         x = x + linear(_merge_heads(attn), bp["attn"]["out"])
 

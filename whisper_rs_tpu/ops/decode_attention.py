@@ -114,6 +114,10 @@ def self_attention_step(
     n_ctx = v_all.shape[3]
     L = k_all.shape[0]
     W = min(window, n_ctx)
+    # transposed-K blocks put W on the lane axis: round up to a Mosaic-legal
+    # width (multiple of 128, or the full context) — the mask hides the rest
+    if W % 128:
+        W = min(-(-W // 128) * 128, n_ctx)
     if key_start is None:
         key_start = jnp.zeros((B,), jnp.int32)
 
@@ -240,7 +244,9 @@ def _cross_vmem_per_chunk(hc: int, Tk: int, dh: int, itemsize: int) -> int:
     return blocks + temps
 
 
-_CROSS_VMEM_BUDGET = 13 * 1024 * 1024  # scoped VMEM is 16 MB; leave slack
+_CROSS_VMEM_BUDGET = 10 * 1024 * 1024  # scoped VMEM is 16 MB; leave slack
+# (the unrolled head loop keeps ~hc f32 [G, Tk] qk/softmax temps live on
+# top of the double-buffered blocks, so the margin must be generous)
 
 
 def _cross_head_chunk(H: int, Tk: int, dh: int, itemsize: int) -> int:
