@@ -473,11 +473,15 @@ def decode_beam(
         (jnp.arange(B) % beam) == 0, 0.0, BIG_NEG
     ).astype(jnp.float32)
 
-    # gather-at-read ancestor table (default; WHISPER_BEAM_ANCESTOR=0 falls
-    # back to physically permuting the cache every step)
+    # gather-at-read ancestor table (opt-in: WHISPER_BEAM_ANCESTOR=1).
+    # CPU-exact vs the reorder path (full beam oracle suite), but the
+    # resolved-gather program nondeterministically faults the tunneled TPU
+    # runtime at production scale (fresh single runs pass; repeated
+    # executions crash the worker) — shipped default-off pending a Pallas
+    # beam-attention kernel that replaces the take_along_axis entirely.
     import os as _os
 
-    use_anc = _os.environ.get("WHISPER_BEAM_ANCESTOR", "1") != "0"
+    use_anc = _os.environ.get("WHISPER_BEAM_ANCESTOR", "0") == "1"
     ident = jnp.arange(B, dtype=jnp.int32)
     anc0 = jnp.broadcast_to(ident[:, None], (B, n_ctx)) if use_anc else None
 

@@ -586,8 +586,11 @@ def decoder_forward(
                 idx = idx[:, None, None, :] if k_layout else (
                     idx[:, None, :, None]
                 )
+                # mode="clip": indices are in-bounds by construction; the
+                # default "fill" lowering adds a select that has shown
+                # instability on the TPU runtime at scale
                 return jnp.take_along_axis(
-                    buf, jnp.broadcast_to(idx, buf.shape), axis=0
+                    buf, jnp.broadcast_to(idx, buf.shape), axis=0, mode="clip"
                 )
 
             attn = _attend(

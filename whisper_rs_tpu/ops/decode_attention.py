@@ -18,16 +18,19 @@ with per-position scales (k scale on the logits, v scale on the softmax
 weights).
 
 Mosaic constraints + perf findings shaping the design (see ROADMAP):
-  * the workload is a matvec (one query token) — per-head MXU dots cost
-    ~1 us of fixed latency each and dominated the first version; both
-    kernels instead compute ALL heads at once on the VPU
-    (broadcast-multiply + reduce over dh), which is bandwidth-bound as it
-    should be;
-  * dynamic sublane slices must be 8-aligned -> heads are never sliced;
+  * the SELF kernel computes all heads at once on the VPU
+    (broadcast-multiply + reduce over dh) — per-head MXU matvecs are
+    latency-bound; its f32 upcasts are per-row tiles so VMEM stays small;
+  * the CROSS kernel uses per-head MXU dots: with the pre-transposed K
+    ([dh, Tk]) the dot is the native MXU form, and measured ~1.5x the HBM
+    roofline vs 2.3x for the XLA einsum path (scan-xs copy + transpose)
+    and ~2.4x for a VPU formulation (compute-bound at Tk=1500);
+  * dynamic sublane slices must be 8-aligned -> heads are never sliced
+    dynamically (leading-dim static indices are free);
   * blocks with a trailing length-1 lane dim pad 1 -> 128 in VMEM, so the
     per-position int8 scales are passed squeezed to 4-D;
-  * products are upcast to f32 BEFORE the multiply so the VPU reduction
-    matches the MXU's f32 accumulation.
+  * the VPU self kernel upcasts to f32 BEFORE the multiply so its
+    reduction matches the MXU's f32 accumulation.
 
 Reference seam being accelerated: the per-step decoder attention of
 model.rs:186-206 driven from decode/mod.rs:236-244.
