@@ -166,3 +166,40 @@ def test_greedy_decode_with_pallas_kernels(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got.scores), np.asarray(ref.scores), rtol=1e-4, atol=1e-4
     )
+
+
+def test_beam_decode_ancestor_kernel_matches_reorder(monkeypatch):
+    """Full beam decode with the ancestor-resolving Pallas kernel (interpret
+    mode) matches the physical-reorder XLA path candidate-for-candidate."""
+    from whisper_rs_tpu.config import BeamSearchMode
+    from whisper_rs_tpu.decode import decode_beam
+
+    cfg = FilterConfig(
+        n_vocab=1000, token_id_eot=500, token_id_space=7,
+        token_id_ts_begin=600, token_id_no_timestamps=599,
+        suppress_blank=True, timestamps=True, suppress_ids=(3, 5),
+        max_initial_timestamp_index=50,
+    )
+    params = init_params(jax.random.PRNGKey(42), DIMS)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3)
+    initial = jnp.asarray([[501]] * 2, jnp.int32)
+
+    def run():
+        return decode_beam(
+            params, mel, initial, jnp.int32(1), jnp.int32(0), DIMS, cfg,
+            BeamSearchMode(beam_size=3), 10, no_speech_id=502,
+        )
+
+    monkeypatch.setenv("WHISPER_BEAM_ANCESTOR", "0")
+    monkeypatch.setenv("WHISPER_PALLAS_DECODE", "0")
+    ref = run()
+    monkeypatch.setenv("WHISPER_BEAM_ANCESTOR", "1")
+    monkeypatch.setenv("WHISPER_PALLAS_DECODE", "interpret")
+    got = run()
+    np.testing.assert_array_equal(
+        np.asarray(got.candidates), np.asarray(ref.candidates)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(ref.scores), rtol=1e-4, atol=1e-4
+    )

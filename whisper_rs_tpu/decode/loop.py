@@ -473,15 +473,23 @@ def decode_beam(
         (jnp.arange(B) % beam) == 0, 0.0, BIG_NEG
     ).astype(jnp.float32)
 
-    # gather-at-read ancestor table (opt-in: WHISPER_BEAM_ANCESTOR=1).
-    # CPU-exact vs the reorder path (full beam oracle suite), but the
-    # resolved-gather program nondeterministically faults the tunneled TPU
-    # runtime at production scale (fresh single runs pass; repeated
-    # executions crash the worker) — shipped default-off pending a Pallas
-    # beam-attention kernel that replaces the take_along_axis entirely.
+    # Gather-at-read ancestor table: on wherever the Pallas beam kernel can
+    # take it (in-kernel ancestor resolution; stable on TPU and ~5x faster
+    # than the physical reorder).  The pure-XLA take_along_axis resolve is
+    # CPU-exact but nondeterministically faults the tunneled TPU runtime at
+    # scale, so "auto" only enables ancestors when a Pallas mode is active
+    # and the cache is not int8 (the beam kernel has no scale support yet);
+    # WHISPER_BEAM_ANCESTOR=1/0 forces either way.
     import os as _os
 
-    use_anc = _os.environ.get("WHISPER_BEAM_ANCESTOR", "0") == "1"
+    env_anc = _os.environ.get("WHISPER_BEAM_ANCESTOR", "auto")
+    if env_anc == "auto":
+        from ..models.whisper import _pallas_decode_mode
+
+        p_self, p_cross, _ = _pallas_decode_mode()
+        use_anc = (p_self or p_cross) and not quantize_kv
+    else:
+        use_anc = env_anc == "1"
     ident = jnp.arange(B, dtype=jnp.int32)
     anc0 = jnp.broadcast_to(ident[:, None], (B, n_ctx)) if use_anc else None
 

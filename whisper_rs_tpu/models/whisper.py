@@ -499,10 +499,19 @@ def decoder_forward(
         pallas_self, pallas_cross, pallas_interpret = _pallas_decode_mode()
     else:
         pallas_self = pallas_cross = pallas_interpret = False
-    # ancestor-resolved reads (beam search) stay on the XLA self path
+    # ancestor-resolved reads (beam gather-at-read) use the dedicated beam
+    # kernel when any Pallas mode is on; the plain self kernel never sees
+    # ancestors; int8 self-cache keeps the XLA resolve (scales unsupported
+    # in the beam kernel).
+    pallas_beam = (
+        (pallas_self or pallas_cross)
+        and ancestors is not None
+        and not cache.quantized
+    )
     pallas_self = pallas_self and ancestors is None
-    if pallas_self or pallas_cross:
+    if pallas_self or pallas_cross or pallas_beam:
         from ..ops.decode_attention import (
+            beam_self_attention_step,
             cross_attention_pallas_ok,
             cross_attention_step,
             self_attention_step,
@@ -514,6 +523,11 @@ def decoder_forward(
             n_head, cross_kv.k.shape[-1], d_head, cross_kv.k.dtype.itemsize,
             quantized_cross,
         )
+        if pallas_beam:
+            # global source rows -> beam-local ancestor indices
+            anc_local = ancestors - (
+                (jnp.arange(B) // cross_group) * cross_group
+            )[:, None]
 
     def block(carry, layer_in):
         if quantized_self:
@@ -549,7 +563,20 @@ def decoder_forward(
         )  # [L, B, H, dh, n_ctx] — transposed layout (see KVCache)
         v_all = lax.dynamic_update_slice(v_all, v_new[None], (l, 0, 0, pos_offset, 0))
 
-        if pallas_self:
+        if pallas_beam:
+            attn = beam_self_attention_step(
+                q[:, :, 0, :],
+                k_all,
+                v_all,
+                l,
+                pos_offset,
+                ks_arg,
+                anc_local,
+                cross_group,
+                window=W,
+                interpret=pallas_interpret,
+            )[:, :, None, :]
+        elif pallas_self:
             attn = self_attention_step(
                 q[:, :, 0, :],
                 k_all,

@@ -340,3 +340,134 @@ def cross_attention_step(
         *extra,
     )
     return out.transpose(0, 2, 1, 3)  # [A, G, H, dh]
+
+
+# ---------------------------------------------------------------------------
+# beam self-attention with in-kernel ancestor resolution (gather-at-read)
+# ---------------------------------------------------------------------------
+
+
+def _beam_self_kernel(
+    # scalar prefetch
+    l_ref,  # [1] layer index
+    pos_ref,  # [1] absolute query position
+    ks_ref,  # [B] first valid cache slot per row
+    # tensor blocks
+    q_ref,  # [1, hc, G, dh]
+    k_ref,  # [1, 1, G, hc, dh, W]  (cache viewed [L, A, G, H, dh, ctx])
+    v_ref,  # [1, 1, G, hc, W, dh]
+    anc_ref,  # [1, G, W] i32: LOCAL ancestor beam per (query beam, position)
+    o_ref,  # [1, hc, G, dh]
+):
+    a = pl.program_id(0)
+    _, hc, G, dh = q_ref.shape
+    W = k_ref.shape[5]
+
+    q = q_ref[0].astype(jnp.float32)  # [hc, G, dh]
+    anc = anc_ref[0]  # [G, W]
+
+    # all-pairs qk on the VPU, then select each (beam, position)'s ancestor
+    # row — the G-fold compute blowup rides otherwise-idle VPU lanes, and
+    # every K/V byte is read exactly once (no permuted cache copy, no
+    # XLA-level resolved-gather materialization).
+    qk = jnp.full((hc, G, W), NEG, jnp.float32)
+    for gp in range(G):
+        kgp = k_ref[0, 0, gp].astype(jnp.float32)  # [hc, dh, W]
+        qk_gp = jnp.sum(q[:, :, :, None] * kgp[:, None, :, :], axis=2)
+        qk = jnp.where(anc[None] == gp, qk_gp, qk)
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    visible = (ids <= pos_ref[0]) & (ids >= ks_ref[a * G])
+    qk = jnp.where(visible, qk, NEG)
+
+    m = jnp.max(qk, axis=-1, keepdims=True)
+    e = jnp.exp(qk - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)  # [hc, G, W] f32
+
+    out = jnp.zeros((hc, G, dh), jnp.float32)
+    for gp in range(G):
+        vgp = v_ref[0, 0, gp].astype(jnp.float32)  # [hc, W, dh]
+        w_gp = jnp.where(anc[None] == gp, w, 0.0)
+        out = out + jnp.sum(w_gp[:, :, :, None] * vgp[:, None, :, :], axis=2)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _beam_head_chunk(H: int, G: int, W: int, dh: int, itemsize: int) -> int:
+    """Largest divisor of H fitting the VMEM budget.  Mosaic keeps the
+    f32 [hc, G, dh, W] product of EVERY unrolled source-beam iteration
+    live simultaneously (observed: no stack reuse across the static G
+    loop), so the intermediate term scales with 2*G."""
+    budget = 10 * 1024 * 1024
+    for hc in range(H, 0, -1):
+        blocks = 2 * 2 * G * hc * W * dh * itemsize
+        inter = 2 * G * hc * G * dh * W * 4
+        if H % hc == 0 and blocks + inter <= budget:
+            return hc
+    return 1
+
+
+def beam_self_attention_step(
+    q: jnp.ndarray,  # [B, H, dh], pre-scaled (B = A*G, beams interleaved)
+    k_all: jnp.ndarray,  # [L, B, H, dh, n_ctx] (transposed, see KVCache)
+    v_all: jnp.ndarray,  # [L, B, H, n_ctx, dh]
+    layer: jnp.ndarray,
+    q_pos: jnp.ndarray,
+    key_start: Optional[jnp.ndarray],  # [B] i32 or None
+    anc_local: jnp.ndarray,  # [B, n_ctx] i32, values in [0, G)
+    group: int,
+    *,
+    window: int,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [B, H, dh]
+    B, H, dh = q.shape
+    n_ctx = v_all.shape[3]
+    L = k_all.shape[0]
+    G = group
+    A = B // G
+    W = min(window, n_ctx)
+    if W % 128:
+        W = min(-(-W // 128) * 128, n_ctx)
+    if key_start is None:
+        key_start = jnp.zeros((B,), jnp.int32)
+
+    q_t = q.reshape(A, G, H, dh).transpose(0, 2, 1, 3)  # [A, H, G, dh]
+    k6 = k_all.reshape(L, A, G, H, dh, n_ctx)
+    v6 = v_all.reshape(L, A, G, H, n_ctx, dh)
+    anc3 = anc_local.reshape(A, G, n_ctx)
+
+    hc = _beam_head_chunk(H, G, W, dh, k_all.dtype.itemsize)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(A, H // hc),
+        in_specs=[
+            pl.BlockSpec((1, hc, G, dh), lambda a, hj, l, p, s: (a, hj, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, G, hc, dh, W),
+                lambda a, hj, l, p, s: (l[0], a, 0, hj, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, G, hc, W, dh),
+                lambda a, hj, l, p, s: (l[0], a, 0, hj, 0, 0),
+            ),
+            pl.BlockSpec((1, G, W), lambda a, hj, l, p, s: (a, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hc, G, dh), lambda a, hj, l, p, s: (a, hj, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        _beam_self_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A, H, G, dh), q.dtype),
+        interpret=interpret,
+    )(
+        jnp.reshape(layer, (1,)).astype(jnp.int32),
+        jnp.reshape(q_pos, (1,)).astype(jnp.int32),
+        key_start.astype(jnp.int32),
+        q_t,
+        k6,
+        v6,
+        anc3.astype(jnp.int32),
+    )
+    return out.transpose(0, 2, 1, 3).reshape(B, H, dh)
