@@ -253,7 +253,15 @@ _CROSS_VMEM_BUDGET = 10 * 1024 * 1024  # scoped VMEM is 16 MB; leave slack
 
 
 def _cross_head_chunk(H: int, Tk: int, dh: int, itemsize: int) -> int:
-    """Largest divisor of H fitting the VMEM budget."""
+    """Largest divisor of H fitting the VMEM budget.  WHISPER_CROSS_HC
+    overrides (perf tuning knob; must divide H)."""
+    import os
+
+    env = os.environ.get("WHISPER_CROSS_HC")
+    if env:
+        hc = int(env)
+        if H % hc == 0:
+            return hc
     for hc in range(H, 0, -1):
         if H % hc == 0 and _cross_vmem_per_chunk(hc, Tk, dh, itemsize) <= _CROSS_VMEM_BUDGET:
             return hc

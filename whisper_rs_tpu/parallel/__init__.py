@@ -1,14 +1,18 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated
 from .sharding import batch_sharding, param_shardings, shard_params
 from .distributed import initialize_multihost
+from .pipeline import STAGE_AXIS, encoder_forward_pp, make_pipeline_mesh
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "STAGE_AXIS",
     "batch_sharding",
     "data_sharding",
+    "encoder_forward_pp",
     "initialize_multihost",
     "make_mesh",
+    "make_pipeline_mesh",
     "param_shardings",
     "replicated",
     "shard_params",
