@@ -168,9 +168,11 @@ def test_greedy_decode_with_pallas_kernels(monkeypatch):
     )
 
 
-def test_beam_decode_ancestor_kernel_matches_reorder(monkeypatch):
+@pytest.mark.parametrize("quant", [False, True])
+def test_beam_decode_ancestor_kernel_matches_reorder(quant, monkeypatch):
     """Full beam decode with the ancestor-resolving Pallas kernel (interpret
-    mode) matches the physical-reorder XLA path candidate-for-candidate."""
+    mode) matches the physical-reorder XLA path candidate-for-candidate —
+    bf16 and int8-KV (whole-H per-position scale blocks) variants."""
     from whisper_rs_tpu.config import BeamSearchMode
     from whisper_rs_tpu.decode import decode_beam
 
@@ -189,6 +191,7 @@ def test_beam_decode_ancestor_kernel_matches_reorder(monkeypatch):
         return decode_beam(
             params, mel, initial, jnp.int32(1), jnp.int32(0), DIMS, cfg,
             BeamSearchMode(beam_size=3), 10, no_speech_id=502,
+            quantize_kv=quant,
         )
 
     monkeypatch.setenv("WHISPER_BEAM_ANCESTOR", "0")

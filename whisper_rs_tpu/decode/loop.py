@@ -474,12 +474,13 @@ def decode_beam(
     ).astype(jnp.float32)
 
     # Gather-at-read ancestor table: on wherever the Pallas beam kernel can
-    # take it (in-kernel ancestor resolution; stable on TPU and ~5x faster
-    # than the physical reorder).  The pure-XLA take_along_axis resolve is
-    # CPU-exact but nondeterministically faults the tunneled TPU runtime at
-    # scale, so "auto" only enables ancestors when a Pallas mode is active
-    # and the cache is not int8 (the beam kernel has no scale support yet);
-    # WHISPER_BEAM_ANCESTOR=1/0 forces either way.
+    # take it (in-kernel ancestor resolution; stable on TPU and ~1.6x the
+    # physical-reorder throughput at medium.en beam5).  The pure-XLA
+    # take_along_axis resolve is CPU-exact but nondeterministically faults
+    # the tunneled TPU runtime at scale, so "auto" only enables ancestors
+    # when a Pallas mode is active (int8 caches ride the same kernel with
+    # per-position scale blocks); WHISPER_BEAM_ANCESTOR=1/0 forces either
+    # way.
     import os as _os
 
     env_anc = _os.environ.get("WHISPER_BEAM_ANCESTOR", "auto")
@@ -487,7 +488,7 @@ def decode_beam(
         from ..models.whisper import _pallas_decode_mode
 
         p_self, p_cross, _ = _pallas_decode_mode()
-        use_anc = (p_self or p_cross) and not quantize_kv
+        use_anc = p_self or p_cross
     else:
         use_anc = env_anc == "1"
     ident = jnp.arange(B, dtype=jnp.int32)

@@ -501,13 +501,9 @@ def decoder_forward(
         pallas_self = pallas_cross = pallas_interpret = False
     # ancestor-resolved reads (beam gather-at-read) use the dedicated beam
     # kernel when any Pallas mode is on; the plain self kernel never sees
-    # ancestors; int8 self-cache keeps the XLA resolve (scales unsupported
-    # in the beam kernel).
-    pallas_beam = (
-        (pallas_self or pallas_cross)
-        and ancestors is not None
-        and not cache.quantized
-    )
+    # ancestors.  int8 self-cache rides the same kernel with whole-H
+    # per-position scale blocks.
+    pallas_beam = (pallas_self or pallas_cross) and ancestors is not None
     pallas_self = pallas_self and ancestors is None
     if pallas_self or pallas_cross or pallas_beam:
         from ..ops.decode_attention import (
@@ -574,6 +570,8 @@ def decoder_forward(
                 anc_local,
                 cross_group,
                 window=W,
+                k_scale=ks_all,
+                v_scale=vs_all,
                 interpret=pallas_interpret,
             )[:, :, None, :]
         elif pallas_self:

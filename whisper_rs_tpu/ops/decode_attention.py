@@ -364,15 +364,28 @@ def _beam_self_kernel(
     q_ref,  # [1, hc, G, dh]
     k_ref,  # [1, 1, G, hc, dh, W]  (cache viewed [L, A, G, H, dh, ctx])
     v_ref,  # [1, 1, G, hc, W, dh]
+    ks_scale_ref,  # [1, 1, G, H, W] f32 or None (int8 mode; WHOLE-H block —
+    #   a head-chunked scale block would put hc on the second-minor dim,
+    #   which Mosaic only allows 8-aligned; rows are selected in-kernel)
+    vs_scale_ref,
     anc_ref,  # [1, G, W] i32: LOCAL ancestor beam per (query beam, position)
     o_ref,  # [1, hc, G, dh]
 ):
     a = pl.program_id(0)
+    hj = pl.program_id(1)
     _, hc, G, dh = q_ref.shape
     W = k_ref.shape[5]
 
     q = q_ref[0].astype(jnp.float32)  # [hc, G, dh]
     anc = anc_ref[0]  # [G, W]
+
+    def scale_rows(sref, gp):
+        """Heads [hj*hc, hj*hc+hc) of the whole-H scale block for source
+        beam gp, as [hc, W] (masked-reduce row select: dynamic sublane
+        offsets need not be 8-aligned this way)."""
+        block = sref[0, 0, gp]  # [H, W]
+        rows = [_row(block, hj * hc + i) for i in range(hc)]
+        return rows[0] if hc == 1 else jnp.concatenate(rows, axis=0)
 
     # all-pairs qk on the VPU, then select each (beam, position)'s ancestor
     # row — the G-fold compute blowup rides otherwise-idle VPU lanes, and
@@ -382,6 +395,8 @@ def _beam_self_kernel(
     for gp in range(G):
         kgp = k_ref[0, 0, gp].astype(jnp.float32)  # [hc, dh, W]
         qk_gp = jnp.sum(q[:, :, :, None] * kgp[:, None, :, :], axis=2)
+        if ks_scale_ref is not None:
+            qk_gp = qk_gp * scale_rows(ks_scale_ref, gp)[:, None, :]
         qk = jnp.where(anc[None] == gp, qk_gp, qk)
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
@@ -396,20 +411,30 @@ def _beam_self_kernel(
     for gp in range(G):
         vgp = v_ref[0, 0, gp].astype(jnp.float32)  # [hc, W, dh]
         w_gp = jnp.where(anc[None] == gp, w, 0.0)
+        if vs_scale_ref is not None:
+            w_gp = w_gp * scale_rows(vs_scale_ref, gp)[:, None, :]
         out = out + jnp.sum(w_gp[:, :, :, None] * vgp[:, None, :, :], axis=2)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _beam_head_chunk(H: int, G: int, W: int, dh: int, itemsize: int) -> int:
+def _beam_kernel_no_scales(l_ref, pos_ref, ks_ref, q, k, v, anc, o):
+    _beam_self_kernel(l_ref, pos_ref, ks_ref, q, k, v, None, None, anc, o)
+
+
+def _beam_head_chunk(
+    H: int, G: int, W: int, dh: int, itemsize: int, quant: bool = False
+) -> int:
     """Largest divisor of H fitting the VMEM budget.  Mosaic keeps the
     f32 [hc, G, dh, W] product of EVERY unrolled source-beam iteration
     live simultaneously (observed: no stack reuse across the static G
-    loop), so the intermediate term scales with 2*G."""
+    loop), so the intermediate term scales with 2*G.  The int8 mode adds
+    whole-H f32 scale blocks (independent of hc)."""
     budget = 10 * 1024 * 1024
+    scales = 2 * 2 * G * H * W * 4 if quant else 0
     for hc in range(H, 0, -1):
         blocks = 2 * 2 * G * hc * W * dh * itemsize
         inter = 2 * G * hc * G * dh * W * 4
-        if H % hc == 0 and blocks + inter <= budget:
+        if H % hc == 0 and blocks + inter + scales <= budget:
             return hc
     return 1
 
@@ -425,6 +450,8 @@ def beam_self_attention_step(
     group: int,
     *,
     window: int,
+    k_scale: Optional[jnp.ndarray] = None,  # [L, B, H, n_ctx, 1] f32 (int8)
+    v_scale: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:  # [B, H, dh]
     B, H, dh = q.shape
@@ -443,21 +470,37 @@ def beam_self_attention_step(
     v6 = v_all.reshape(L, A, G, H, n_ctx, dh)
     anc3 = anc_local.reshape(A, G, n_ctx)
 
-    hc = _beam_head_chunk(H, G, W, dh, k_all.dtype.itemsize)
+    quant = k_scale is not None
+    hc = _beam_head_chunk(H, G, W, dh, k_all.dtype.itemsize, quant)
+
+    k_spec = pl.BlockSpec(
+        (1, 1, G, hc, dh, W), lambda a, hj, l, p, s: (l[0], a, 0, hj, 0, 0)
+    )
+    v_spec = pl.BlockSpec(
+        (1, 1, G, hc, W, dh), lambda a, hj, l, p, s: (l[0], a, 0, hj, 0, 0)
+    )
+    if quant:
+        # whole-H scale blocks (see kernel docstring); squeeze trailing 1
+        scale_spec = pl.BlockSpec(
+            (1, 1, G, H, W), lambda a, hj, l, p, s: (l[0], a, 0, 0, 0)
+        )
+        in_specs = [k_spec, v_spec, scale_spec, scale_spec]
+        extra = (
+            k_scale.reshape(L, A, G, H, n_ctx),
+            v_scale.reshape(L, A, G, H, n_ctx),
+        )
+        kernel = _beam_self_kernel
+    else:
+        in_specs = [k_spec, v_spec]
+        extra = ()
+        kernel = _beam_kernel_no_scales
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(A, H // hc),
         in_specs=[
             pl.BlockSpec((1, hc, G, dh), lambda a, hj, l, p, s: (a, hj, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, G, hc, dh, W),
-                lambda a, hj, l, p, s: (l[0], a, 0, hj, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, G, hc, W, dh),
-                lambda a, hj, l, p, s: (l[0], a, 0, hj, 0, 0),
-            ),
+            *in_specs,
             pl.BlockSpec((1, G, W), lambda a, hj, l, p, s: (a, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -465,7 +508,7 @@ def beam_self_attention_step(
         ),
     )
     out = pl.pallas_call(
-        _beam_self_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A, H, G, dh), q.dtype),
         interpret=interpret,
@@ -476,6 +519,7 @@ def beam_self_attention_step(
         q_t,
         k6,
         v6,
+        *extra,
         anc3.astype(jnp.int32),
     )
     return out.transpose(0, 2, 1, 3).reshape(B, H, dh)
