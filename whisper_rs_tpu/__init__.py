@@ -19,6 +19,7 @@ from .config import (
 from .decode import DecodeOutput, DecodeTask
 from .models import init_params, load_openai_checkpoint
 from .models.checkpoint import load_params, save_params
+from .serve import RequestHandle, ServingEngine
 from .tokenize import Task, Tokenizer
 from .transcribe import TranscribeOutput, TranscribeSegment, TranscribeTask
 
@@ -32,6 +33,8 @@ __all__ = [
     "GreedyMode",
     "MODEL_REGISTRY",
     "ModelDims",
+    "RequestHandle",
+    "ServingEngine",
     "Task",
     "Tokenizer",
     "TranscribeOptions",

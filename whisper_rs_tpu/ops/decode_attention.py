@@ -192,80 +192,122 @@ def _kernel_no_scales(kernel, *refs, n_scalars: int):
 
 def _cross_attn_kernel(
     l_ref,  # [1]
-    q_ref,  # [1, hc, G, dh]
-    k_ref,  # [1, 1, hc, dh, Tk]  (K pre-transposed, see CrossKV)
-    v_ref,  # [1, 1, hc, Tk, dh]
-    ks_scale_ref,  # [1, 1, hc, Tk] f32 or None
+    q_ref,  # [ac, hc, G, dh]
+    k_ref,  # [1, ac, hc, dh, Tk]  (K pre-transposed, see CrossKV)
+    v_ref,  # [1, ac, hc, Tk, dh]
+    ks_scale_ref,  # [1, ac, hc, Tk] f32 or None
     vs_scale_ref,
-    o_ref,  # [1, hc, G, dh]
+    o_ref,  # [ac, hc, G, dh]
 ):
-    _, hc, G, dh = q_ref.shape
+    ac, hc, G, dh = q_ref.shape
     Tk = k_ref.shape[4]
 
     # MXU dots per head: [G, dh] @ [dh, Tk] is the native MXU form thanks
-    # to the pre-transposed K.  G and hc are tiny static ints.
-    outs = []
-    for h in range(hc):
-        q = q_ref[0, h]  # [G, dh] (leading-dim static index: free)
-        k = k_ref[0, 0, h]  # [dh, Tk]
-        if k_ref.dtype == jnp.int8:
-            k = k.astype(q_ref.dtype)
-        qk = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [G, Tk]
-        if ks_scale_ref is not None:
-            qk = qk * _row(ks_scale_ref[0, 0], h)
-        m = jnp.max(qk, axis=-1, keepdims=True)
-        e = jnp.exp(qk - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
-        if vs_scale_ref is not None:
-            w = w * _row(vs_scale_ref[0, 0], h)
-        v = v_ref[0, 0, h]
-        if v_ref.dtype == jnp.int8:
-            w = w.astype(jnp.float32)
-            v = v.astype(jnp.float32)
-        else:
-            w = w.astype(v_ref.dtype)
-        outs.append(
-            jax.lax.dot_general(
-                w, v,
+    # to the pre-transposed K.  ac, G and hc are tiny static ints; the
+    # audio-block loop amortizes per-program overhead over ac audios.
+    for a in range(ac):
+        outs = []
+        for h in range(hc):
+            q = q_ref[a, h]  # [G, dh] (leading-dim static index: free)
+            k = k_ref[0, a, h]  # [dh, Tk]
+            if k_ref.dtype == jnp.int8:
+                k = k.astype(q_ref.dtype)
+            qk = jax.lax.dot_general(
+                q, k,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )[:, None, :]  # [G, 1, dh]
-        )
-    out = outs[0] if hc == 1 else jnp.concatenate(outs, axis=1)  # [G, hc, dh]
-    o_ref[0] = out.transpose(1, 0, 2).astype(o_ref.dtype)
+            )  # [G, Tk]
+            if ks_scale_ref is not None:
+                qk = qk * _row(ks_scale_ref[0, a], h)
+            m = jnp.max(qk, axis=-1, keepdims=True)
+            e = jnp.exp(qk - m)
+            w = e / jnp.sum(e, axis=-1, keepdims=True)
+            if vs_scale_ref is not None:
+                w = w * _row(vs_scale_ref[0, a], h)
+            v = v_ref[0, a, h]
+            if v_ref.dtype == jnp.int8:
+                w = w.astype(jnp.float32)
+                v = v.astype(jnp.float32)
+            else:
+                w = w.astype(v_ref.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    w, v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[:, None, :]  # [G, 1, dh]
+            )
+        out = outs[0] if hc == 1 else jnp.concatenate(outs, axis=1)
+        o_ref[a] = out.transpose(1, 0, 2).astype(o_ref.dtype)  # [hc, G, dh]
 
 
-def _cross_vmem_per_chunk(hc: int, Tk: int, dh: int, itemsize: int) -> int:
+def _cross_vmem_per_chunk(
+    hc: int, Tk: int, dh: int, itemsize: int, ac: int = 1
+) -> int:
     """Estimated VMEM: K+V blocks double-buffered + per-head dot temps
     (an int8->compute upcast of one [Tk, dh] tile at a time)."""
-    blocks = 2 * 2 * hc * Tk * dh * itemsize
+    blocks = 2 * 2 * ac * hc * Tk * dh * itemsize
     temps = 2 * Tk * dh * 4
     return blocks + temps
 
 
-_CROSS_VMEM_BUDGET = 10 * 1024 * 1024  # scoped VMEM is 16 MB; leave slack
+_CROSS_VMEM_BUDGET = 10 * 1024 * 1024  # default scoped VMEM is 16 MB
 # (the unrolled head loop keeps ~hc f32 [G, Tk] qk/softmax temps live on
 # top of the double-buffered blocks, so the margin must be generous)
 
 
-def _cross_head_chunk(H: int, Tk: int, dh: int, itemsize: int) -> int:
-    """Largest divisor of H fitting the VMEM budget.  WHISPER_CROSS_HC
-    overrides (perf tuning knob; must divide H)."""
+def _cross_env():
+    """Tuning knobs: WHISPER_CROSS_HC (head chunk), WHISPER_CROSS_AC
+    (audio-block chunk), WHISPER_CROSS_VMEM_MB (scoped-VMEM budget; values
+    above 16 are passed to Mosaic via vmem_limit_bytes — v5e has 128 MB of
+    VMEM, so bigger double-buffered blocks = fewer, better-amortized grid
+    programs for the HBM-bound cross stream)."""
     import os
 
-    env = os.environ.get("WHISPER_CROSS_HC")
-    if env:
-        hc = int(env)
-        if H % hc == 0:
-            return hc
-    for hc in range(H, 0, -1):
-        if H % hc == 0 and _cross_vmem_per_chunk(hc, Tk, dh, itemsize) <= _CROSS_VMEM_BUDGET:
-            return hc
-    return 1
+    hc = os.environ.get("WHISPER_CROSS_HC")
+    ac = os.environ.get("WHISPER_CROSS_AC")
+    mb = os.environ.get("WHISPER_CROSS_VMEM_MB")
+    return (
+        int(hc) if hc else None,
+        int(ac) if ac else None,
+        int(mb) * 1024 * 1024 if mb else _CROSS_VMEM_BUDGET,
+    )
+
+
+def _cross_chunks(
+    A: int, H: int, Tk: int, dh: int, itemsize: int
+) -> tuple:
+    """(audio-chunk, head-chunk, vmem_limit) for the cross kernel grid.
+
+    Prefers whole-H head chunks first (one output tile per audio), then
+    grows the audio chunk while the double-buffered blocks fit the budget.
+    """
+    env_hc, env_ac, budget = _cross_env()
+    if env_hc is not None and H % env_hc == 0:
+        hc = env_hc
+    else:
+        hc = 1
+        for cand in range(H, 0, -1):
+            if H % cand == 0 and _cross_vmem_per_chunk(
+                cand, Tk, dh, itemsize
+            ) <= budget:
+                hc = cand
+                break
+    if env_ac is not None and A % env_ac == 0:
+        ac = env_ac
+    else:
+        ac = 1
+        for cand in range(A, 0, -1):
+            if A % cand == 0 and _cross_vmem_per_chunk(
+                hc, Tk, dh, itemsize, cand
+            ) <= budget:
+                ac = cand
+                break
+    vmem_limit = None
+    need = _cross_vmem_per_chunk(hc, Tk, dh, itemsize, ac) + 2 * 1024 * 1024
+    if need > 16 * 1024 * 1024:
+        vmem_limit = need
+    return ac, hc, vmem_limit
 
 
 def cross_attention_pallas_ok(
@@ -295,23 +337,35 @@ def cross_attention_step(
     # query laid out [A, H, G, dh] so the (a, head-chunk) block is contiguous
     q_t = q.transpose(0, 2, 1, 3)
 
-    # int8 K/V blocks are small enough for whole-H blocks, which the scale
-    # BlockSpec needs anyway (chunked scale blocks would violate Mosaic's
-    # second-minor-dim alignment for non-multiple-of-8 chunks)
-    hc = H if k_scale is not None else _cross_head_chunk(
-        H, Tk, dh, k_all.dtype.itemsize
-    )
+    quant = k_scale is not None
+    if quant:
+        # int8 K/V blocks are small enough for whole-H blocks, which the
+        # scale BlockSpec needs anyway (chunked scale blocks would violate
+        # Mosaic's second-minor-dim alignment for non-multiple-of-8 chunks)
+        env_hc, env_ac, budget = _cross_env()
+        hc = H
+        ac = env_ac if (env_ac and A % env_ac == 0) else 1
+        if not (env_ac and A % env_ac == 0):
+            for cand in range(A, 0, -1):
+                if A % cand == 0 and _cross_vmem_per_chunk(
+                    hc, Tk, dh, k_all.dtype.itemsize, cand
+                ) <= budget:
+                    ac = cand
+                    break
+        need = _cross_vmem_per_chunk(hc, Tk, dh, k_all.dtype.itemsize, ac)
+        vmem_limit = need + 2 * 1024 * 1024 if need > 14 * 1024 * 1024 else None
+    else:
+        ac, hc, vmem_limit = _cross_chunks(A, H, Tk, dh, k_all.dtype.itemsize)
     k_spec = pl.BlockSpec(
-        (1, 1, hc, dh, Tk), lambda a, hj, l: (l[0], a, hj, 0, 0)
+        (1, ac, hc, dh, Tk), lambda a, hj, l: (l[0], a, hj, 0, 0)
     )
     v_spec = pl.BlockSpec(
-        (1, 1, hc, Tk, dh), lambda a, hj, l: (l[0], a, hj, 0, 0)
+        (1, ac, hc, Tk, dh), lambda a, hj, l: (l[0], a, hj, 0, 0)
     )
-    quant = k_scale is not None
     L = k_all.shape[0]
     if quant:
         scale_spec = pl.BlockSpec(
-            (1, 1, hc, Tk), lambda a, hj, l: (l[0], a, hj, 0)
+            (1, ac, hc, Tk), lambda a, hj, l: (l[0], a, hj, 0)
         )
         in_specs = [k_spec, v_spec, scale_spec, scale_spec]
         extra = (
@@ -328,18 +382,23 @@ def cross_attention_step(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(A, H // hc),
+        grid=(A // ac, H // hc),
         in_specs=[
-            pl.BlockSpec((1, hc, G, dh), lambda a, hj, l: (a, hj, 0, 0)),
+            pl.BlockSpec((ac, hc, G, dh), lambda a, hj, l: (a, hj, 0, 0)),
             *in_specs,
         ],
-        out_specs=pl.BlockSpec((1, hc, G, dh), lambda a, hj, l: (a, hj, 0, 0)),
+        out_specs=pl.BlockSpec((ac, hc, G, dh), lambda a, hj, l: (a, hj, 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A, H, G, dh), q.dtype),
         interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+            if vmem_limit
+            else None
+        ),
     )(
         jnp.reshape(layer, (1,)).astype(jnp.int32),
         q_t,
