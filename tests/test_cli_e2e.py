@@ -140,3 +140,81 @@ def test_cli_srt_format(checkpoint, tmp_path, capsys):
     import re
 
     assert re.search(r"1\n\d\d:\d\d:\d\d,\d\d\d --> \d\d:\d\d:\d\d,\d\d\d\n", out)
+
+
+@pytest.fixture(scope="module")
+def multilingual_setup(tmp_path_factory):
+    """Synthetic multilingual checkpoint (n_vocab=51865) + a fake
+    multilingual tokenizer json (the real one is not fetchable offline:
+    zero egress).  The fake moves <|endoftext|> to id 50257 — exactly the
+    property `Tokenizer.is_multilingual` keys on — leaving BPE content
+    untouched (random weights make the text gibberish either way)."""
+    torch = pytest.importorskip("torch")
+    from torch_oracle import make_random_state_dict
+
+    from whisper_rs_tpu.config import ModelDims
+
+    root = tmp_path_factory.mktemp("multi")
+    src = pathlib.Path(__file__).parents[1] / "assets" / "gpt2.json"
+    tok = json.loads(src.read_text())
+    vocab = tok["model"]["vocab"]
+    assert vocab["<|endoftext|>"] == 50256
+    vocab["<|endoftext|>"] = 50257
+    vocab["<|filler50256|>"] = 50256
+    tok_path = root / "gpt2_multi.json"
+    tok_path.write_text(json.dumps(tok))
+
+    dims = ModelDims(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    sd = make_random_state_dict(dims, seed=3)
+    ckpt = root / "multi_test.pt"
+    torch.save(
+        {"dims": {k: getattr(dims, k) for k in (
+            "n_mels", "n_vocab", "n_audio_ctx", "n_audio_state",
+            "n_audio_head", "n_audio_layer", "n_text_ctx", "n_text_state",
+            "n_text_head", "n_text_layer")},
+         "model_state_dict": sd},
+        str(ckpt),
+    )
+    return str(ckpt), str(tok_path)
+
+
+def test_cli_language_auto(multilingual_setup, tmp_path, capsys):
+    """--language auto: per-file detection feeds the sot sequence and the
+    JSON output (reference declares Task::LanguageId but never implements
+    it, tokenize.rs:135,143-147)."""
+    from whisper_rs_tpu.audio.io import write_wav
+    from whisper_rs_tpu.cli import main
+    from whisper_rs_tpu.tokenize.languages import LANGUAGE_CODES
+
+    ckpt, tok_json = multilingual_setup
+    rng = np.random.default_rng(4)
+    wav = tmp_path / "auto.wav"
+    write_wav(wav, (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32))
+
+    rc = main([
+        str(wav), "--checkpoint", ckpt, "--tokenizer", tok_json,
+        "--language", "auto", "--greedy", "--sample-len", "4",
+        "--dtype", "float32", "--json",
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["language"] in LANGUAGE_CODES
+    assert "text" in payload
+
+
+def test_cli_language_auto_requires_multilingual(checkpoint, tmp_path, capsys):
+    """en-only checkpoints reject --language auto with a clear error."""
+    from whisper_rs_tpu.audio.io import write_wav
+    from whisper_rs_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    wav = tmp_path / "en.wav"
+    write_wav(wav, (rng.standard_normal(16000) * 0.1).astype(np.float32))
+    rc = main([str(wav), "--checkpoint", checkpoint, "--language", "auto",
+               "--greedy", "--sample-len", "4", "--dtype", "float32"])
+    assert rc == 2
+    assert "multilingual" in capsys.readouterr().err

@@ -22,7 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("audio", nargs="+", help="audio file(s): wav (mp3 via native runtime)")
     p.add_argument("--checkpoint", required=True, help="OpenAI whisper .pt checkpoint")
     p.add_argument("--tokenizer", default=None, help="tokenizer json (gpt2)")
-    p.add_argument("--language", default="en")
+    p.add_argument(
+        "--language", default="en",
+        help="ISO code, or 'auto' to detect per file (multilingual models)",
+    )
     p.add_argument("--task", default="transcribe", choices=["transcribe", "translate"])
     p.add_argument("--greedy", action="store_true", help="greedy decode instead of beam")
     p.add_argument("--sample-len", type=int, default=None, help="max tokens per window")
@@ -76,12 +79,19 @@ def main(argv=None) -> int:
         params = shard_params(mesh, params)
         log.info("sharded params over mesh %s", mesh)
 
+    detect = args.language == "auto"
     tokenizer = Tokenizer.for_dims(
         dims,
         Task.TRANSLATE if args.task == "translate" else Task.TRANSCRIBE,
         tokenizer_json=args.tokenizer,
-        language=args.language,
+        language="en" if detect else args.language,
     )
+    if detect and not tokenizer.is_multilingual:
+        print(
+            "--language auto requires a multilingual checkpoint",
+            file=sys.stderr,
+        )
+        return 2
 
     mode = (
         GreedyMode()
@@ -110,6 +120,26 @@ def main(argv=None) -> int:
             print(f"{path}: failed to load: {e}", file=sys.stderr)
             rc = 1
             continue
+        detected = None
+        if detect:
+            # per-file language ID from the first 30s window (OpenAI
+            # semantics; the reference declares Task::LanguageId but never
+            # implements it, tokenize.rs:135,143-147).  Same-length sot
+            # sequences mean no recompile when the language changes.
+            from .audio import N_FRAMES, log_mel_file, pad_or_trim
+            from .decode.language import detect_language
+
+            mel = pad_or_trim(
+                jnp.asarray(log_mel_file(audio, dims.n_mels)),
+                N_FRAMES,
+            )
+            probs = detect_language(params, mel.astype(dtype), dims, tokenizer)[0]
+            detected = max(probs, key=probs.get)
+            tokenizer.language = detected
+            log.info(
+                "detected language %s (p=%.2f) for %s",
+                detected, probs[detected], path,
+            )
         secs = len(audio) / 16000.0
         with step_timer(f"transcribe {path}", audio_seconds=secs):
             out = task.run(audio)
@@ -123,6 +153,7 @@ def main(argv=None) -> int:
                 json.dumps(
                     {
                         "file": path,
+                        "language": detected or args.language,
                         "text": out.text,
                         "segments": [
                             {

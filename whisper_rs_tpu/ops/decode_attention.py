@@ -293,21 +293,23 @@ def _cross_chunks(
             ) <= budget:
                 hc = cand
                 break
-    if env_ac is not None and A % env_ac == 0:
-        ac = env_ac
-    else:
-        ac = 1
-        for cand in range(A, 0, -1):
-            if A % cand == 0 and _cross_vmem_per_chunk(
-                hc, Tk, dh, itemsize, cand
-            ) <= budget:
-                ac = cand
-                break
-    vmem_limit = None
-    need = _cross_vmem_per_chunk(hc, Tk, dh, itemsize, ac) + 2 * 1024 * 1024
-    if need > 16 * 1024 * 1024:
-        vmem_limit = need
-    return ac, hc, vmem_limit
+    # measured (base.en b32, v5e): ac>1 is SLOWER at every size (2.045 ->
+    # 2.061/2.088/2.232 ms/step for ac=1/2/4/8) — per-program overhead is
+    # not the bottleneck and coarser blocks pipeline worse.  Default 1;
+    # the env knob remains for re-testing on other chip generations.
+    ac = env_ac if (env_ac is not None and A % env_ac == 0) else 1
+    return ac, hc, _cross_vmem_limit(hc, Tk, dh, itemsize, ac)
+
+
+def _cross_vmem_limit(hc, Tk, dh, itemsize, ac):
+    """Mosaic vmem_limit_bytes for the chosen chunks, or None for the
+    default 16 MB window.  Measured: actual scoped allocation runs ~1.4x
+    the double-buffered-block estimate (output/q blocks + unrolled-loop
+    temps) — budget 2x and round up to whole MB."""
+    need = 2 * _cross_vmem_per_chunk(hc, Tk, dh, itemsize, ac)
+    if need <= 14 * 1024 * 1024:
+        return None
+    return min(-(-need // (1024 * 1024)) * 1024 * 1024, 100 * 1024 * 1024)
 
 
 def cross_attention_pallas_ok(
@@ -344,16 +346,8 @@ def cross_attention_step(
         # Mosaic's second-minor-dim alignment for non-multiple-of-8 chunks)
         env_hc, env_ac, budget = _cross_env()
         hc = H
-        ac = env_ac if (env_ac and A % env_ac == 0) else 1
-        if not (env_ac and A % env_ac == 0):
-            for cand in range(A, 0, -1):
-                if A % cand == 0 and _cross_vmem_per_chunk(
-                    hc, Tk, dh, k_all.dtype.itemsize, cand
-                ) <= budget:
-                    ac = cand
-                    break
-        need = _cross_vmem_per_chunk(hc, Tk, dh, k_all.dtype.itemsize, ac)
-        vmem_limit = need + 2 * 1024 * 1024 if need > 14 * 1024 * 1024 else None
+        ac = env_ac if (env_ac and A % env_ac == 0) else 1  # see _cross_chunks
+        vmem_limit = _cross_vmem_limit(hc, Tk, dh, k_all.dtype.itemsize, ac)
     else:
         ac, hc, vmem_limit = _cross_chunks(A, H, Tk, dh, k_all.dtype.itemsize)
     k_spec = pl.BlockSpec(
