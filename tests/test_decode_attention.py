@@ -79,11 +79,14 @@ def test_cross_attention_kernel_oracle_int8():
     kq, kqs = quant(kf)
     vq, vqs = quant(vf)
     lyr = 1
+    # fused CrossKV layout: [L, A, H, 2, dh, Tk], K and V both transposed
+    kv = jnp.stack(
+        [jnp.asarray(kq).swapaxes(-1, -2), jnp.asarray(vq).swapaxes(-1, -2)],
+        axis=3,
+    )
     got = np.asarray(
         cross_attention_step(
-            # K is stored pre-transposed [L, A, H, dh, Tk] (CrossKV layout)
-            q, jnp.asarray(kq).swapaxes(-1, -2), jnp.asarray(vq),
-            jnp.int32(lyr),
+            q, kv, jnp.int32(lyr),
             k_scale=jnp.asarray(kqs), v_scale=jnp.asarray(vqs), interpret=True,
         )
     )
