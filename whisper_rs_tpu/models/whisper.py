@@ -97,7 +97,13 @@ def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.gelu(x, approximate=False)
+    """Exact erf GELU in f32 (torch.nn.GELU parity); tanh approximation in
+    half precision.  The tanh form's max error (~2e-3 absolute near |x|=2)
+    is below bf16's own resolution (~7.8e-3 relative), so it is numerically
+    invisible there — while erf costs ~0.9 ms per encoder MLP activation
+    tensor on v5e and tanh is free (fuses into the matmul epilogue)."""
+    exact = x.dtype in (jnp.float32, jnp.float64)
+    return jax.nn.gelu(x, approximate=not exact)
 
 
 def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
@@ -179,7 +185,9 @@ def _attend_grouped(
     return out.reshape(AG, H, Tq, dh)
 
 
-def mha_self(x_ln: jnp.ndarray, p: dict, n_head: int, mask) -> jnp.ndarray:
+def mha_self(
+    x_ln: jnp.ndarray, p: dict, n_head: int, mask, n_valid: Optional[int] = None
+) -> jnp.ndarray:
     """Full (non-cached) self-attention — encoder path (model.rs:158-206).
 
     The reference scales q AND k by head_dim**-0.25 each (model.rs:169-182);
@@ -199,7 +207,7 @@ def mha_self(x_ln: jnp.ndarray, p: dict, n_head: int, mask) -> jnp.ndarray:
     if mask is None:
         from ..ops.encoder_attention import encoder_attention
 
-        out = encoder_attention(q, k, v, scale)
+        out = encoder_attention(q, k, v, scale, n_valid=n_valid)
     else:
         out = _attend(q * scale, k.swapaxes(-1, -2), v, mask)
     return linear(_merge_heads(out), p["out"])
@@ -260,14 +268,32 @@ def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndar
     x = x + pos
 
     n_head = dims.n_audio_head
+    T = dims.n_audio_ctx
+
+    # Pad ONCE to the flash kernel's 128-multiple here instead of per layer:
+    # pad/unpad of three [B, T, D] tensors inside every block costs ~7 ms per
+    # base.en b32 forward on v5e.  Pad rows stay isolated — LN/MLP are
+    # row-local and the flash kernel segment-masks them (n_valid) — and are
+    # sliced off at the end.
+    from ..ops.encoder_attention import flash_pad_to
+
+    Tp = flash_pad_to(T)
+    n_valid = T if Tp != T else None
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
 
     def block(x, bp):
-        x = x + mha_self(layer_norm(x, bp["attn_ln"]), bp["attn"], n_head, None)
+        x = x + mha_self(
+            layer_norm(x, bp["attn_ln"]), bp["attn"], n_head, None,
+            n_valid=n_valid,
+        )
         h = layer_norm(x, bp["mlp_ln"])
         x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
         return x, None
 
     x, _ = lax.scan(block, x, enc["blocks"])
+    if Tp != T:
+        x = x[:, :T]
     return layer_norm(x, enc["ln_post"])
 
 
