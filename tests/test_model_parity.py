@@ -165,3 +165,28 @@ def test_cache_reorder():
     np.testing.assert_array_equal(
         np.asarray(out.k[:, 1]), np.asarray(cache.k[:, 0])
     )
+
+
+def test_encoder_attention_n_valid_masks_pad_tail():
+    """The pre-padded encoder path (encoder_forward pads once to the flash
+    kernel's 128-multiple and passes n_valid) must equal unpadded attention
+    on the real rows.  Off-TPU this exercises the einsum fallback's key
+    masking; the flash segment-id variant is hardware-parity-checked."""
+    import numpy as np
+
+    from whisper_rs_tpu.ops.encoder_attention import encoder_attention
+
+    rng = np.random.default_rng(0)
+    B, H, T, dh, pad = 2, 4, 100, 16, 28
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, H, T, dh)), jnp.float32) * 0.3
+        for _ in range(3)
+    )
+    want = np.asarray(encoder_attention(q, k, v, dh**-0.5))
+
+    zp = jnp.zeros((B, H, pad, dh), jnp.float32)
+    qp, kp, vp = (jnp.concatenate([t, zp], axis=2) for t in (q, k, v))
+    got = np.asarray(
+        encoder_attention(qp, kp, vp, dh**-0.5, n_valid=T)[:, :, :T]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
