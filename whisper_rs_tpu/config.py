@@ -40,7 +40,7 @@ class ModelDims:
         return self.n_text_ctx // 2
 
 
-def _dims(n_mels, n_vocab, state, head, layer) -> ModelDims:
+def _dims(n_mels, n_vocab, state, head, layer, text_layer=None) -> ModelDims:
     return ModelDims(
         n_mels=n_mels,
         n_vocab=n_vocab,
@@ -51,7 +51,7 @@ def _dims(n_mels, n_vocab, state, head, layer) -> ModelDims:
         n_text_ctx=448,
         n_text_state=state,
         n_text_head=head,
-        n_text_layer=layer,
+        n_text_layer=layer if text_layer is None else text_layer,
     )
 
 
@@ -69,18 +69,14 @@ MODEL_REGISTRY = {
     "large-v1": _dims(80, 51865, 1280, 20, 32),
     "large-v2": _dims(80, 51865, 1280, 20, 32),
     "large-v3": _dims(128, 51866, 1280, 20, 32),
-    "large-v3-turbo": ModelDims(
-        n_mels=128,
-        n_vocab=51866,
-        n_audio_ctx=1500,
-        n_audio_state=1280,
-        n_audio_head=20,
-        n_audio_layer=32,
-        n_text_ctx=448,
-        n_text_state=1280,
-        n_text_head=20,
-        n_text_layer=4,
-    ),
+    "large-v3-turbo": _dims(128, 51866, 1280, 20, 32, text_layer=4),
+    # distil-whisper family (same encoders, shallow decoders — the shapes
+    # serving deployments actually run; checkpoints load via the same
+    # OpenAI-format converter)
+    "distil-small.en": _dims(80, 51864, 768, 12, 12, text_layer=4),
+    "distil-medium.en": _dims(80, 51864, 1024, 16, 24, text_layer=2),
+    "distil-large-v2": _dims(80, 51865, 1280, 20, 32, text_layer=2),
+    "distil-large-v3": _dims(128, 51866, 1280, 20, 32, text_layer=2),
 }
 
 
