@@ -60,10 +60,11 @@ def setup():
     return params, mel
 
 
-def oracle_greedy(params, mel, initial_tokens, sample_begin, sample_len):
+def oracle_greedy(params, mel, initial_tokens, sample_begin, sample_len, dims=None):
     """Host loop: full re-prefill each step, filters, argmax, EOT pinning."""
-    xa = encoder_forward(params, jnp.asarray(mel), DIMS)
-    cross_kv = precompute_cross_kv(params, xa, DIMS)
+    dims = dims or DIMS
+    xa = encoder_forward(params, jnp.asarray(mel), dims)
+    cross_kv = precompute_cross_kv(params, xa, dims)
     B = mel.shape[0]
     rows = [list(initial_tokens[i]) for i in range(B)]
     sum_lp = np.zeros(B)
@@ -73,7 +74,7 @@ def oracle_greedy(params, mel, initial_tokens, sample_begin, sample_len):
         L = len(rows[0])
         toks = jnp.asarray(np.asarray(rows, np.int32))
         logits, _ = decoder_forward(
-            params, toks, jnp.int32(0), cross_kv, KVCache.init(DIMS, B), DIMS
+            params, toks, jnp.int32(0), cross_kv, KVCache.init(dims, B), dims
         )
         last = np.asarray(logits)[:, -1].astype(np.float64)
         filt = apply_filters_ref(CFG, last, rows, sample_begin)
@@ -233,3 +234,29 @@ def test_avg_logprob_formula(setup):
         s = int(np.asarray(sel)[i])
         want = scores[i, s] / (int(np.asarray(lengths)[i, s]) + 1.0)
         np.testing.assert_allclose(float(np.asarray(avg_lp)[i]), want, rtol=1e-5)
+
+
+def test_greedy_asymmetric_depths_runs():
+    """distil-style dims (deep encoder, shallow decoder) flow through the
+    whole decode stack — guards n_audio_layer/n_text_layer separation in
+    init_params, KVCache, and the layer scans."""
+    import dataclasses
+
+    dims = dataclasses.replace(DIMS, n_audio_layer=3, n_text_layer=1)
+    params = init_params(jax.random.PRNGKey(7), dims)
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.3
+    initial = np.asarray([[SOT]], np.int32)
+
+    result = decode_greedy(
+        params, jnp.asarray(mel), jnp.asarray(initial), jnp.int32(1),
+        jnp.int32(0), dims, CFG, GreedyMode(), SAMPLE_LEN, no_speech_id=502,
+    )
+    toks = np.asarray(result.candidates)[0, 0]
+    assert toks.shape[0] == dims.n_text_ctx
+    assert np.isfinite(np.asarray(result.scores)).all()
+
+    rows, ref_scores = oracle_greedy(params, mel, initial, 1, SAMPLE_LEN, dims=dims)
+    seq = rows[0]
+    end = seq.index(EOT) + 1 if EOT in seq else len(seq)
+    np.testing.assert_array_equal(toks[:end], seq[:end])

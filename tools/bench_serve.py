@@ -1,0 +1,64 @@
+"""Serving-engine benchmark: continuous-batching throughput + latency.
+
+Submits a trickle-then-burst of synthetic utterances of mixed lengths to
+ServingEngine on the real chip and reports sustained throughput and
+per-request latency percentiles — the serving-facing complement to
+bench.py's single-batch number.
+
+  python -m tools.bench_serve [model] [batch_size] [n_requests]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_rs_tpu.config import TranscribeOptions, dims_for
+from whisper_rs_tpu.models import init_params
+from whisper_rs_tpu.serve import ServingEngine
+from whisper_rs_tpu.tokenize import Tokenizer
+
+
+def main():
+    model = sys.argv[1] if len(sys.argv) > 1 else "base.en"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_req = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    dims = dims_for(model)
+    params = init_params(jax.random.PRNGKey(0), dims, dtype=jnp.bfloat16)
+    tokenizer = Tokenizer.for_dims(dims)
+
+    rng = np.random.default_rng(0)
+    # mixed lengths: 5s..65s, so utterances retire at different window counts
+    lengths = rng.integers(5, 66, n_req) * 16000
+    audios = [
+        (rng.standard_normal(n) * 0.05).astype(np.float32) for n in lengths
+    ]
+    total_audio_s = float(sum(lengths) / 16000)
+
+    opts = TranscribeOptions()
+    with ServingEngine(
+        params, dims, tokenizer, options=opts, batch_size=batch,
+        compute_dtype=jnp.bfloat16,
+    ) as engine:
+        engine.warmup()
+        t0 = time.perf_counter()
+        handles = [engine.submit(a) for a in audios]
+        for h in handles:
+            h.result(timeout=1800)
+        wall = time.perf_counter() - t0
+        stats = engine.stats()
+
+    lat = sorted(h.latency() for h in handles)
+    p = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+    print(
+        f"{model} batch={batch}: {n_req} reqs, {total_audio_s:.0f} audio-s "
+        f"in {wall:.1f}s -> {total_audio_s / wall:.0f} audio-s/s sustained; "
+        f"latency p50 {p(0.5):.2f}s p95 {p(0.95):.2f}s max {lat[-1]:.2f}s"
+    )
+    print(f"engine stats: {stats}")
+
+
+if __name__ == "__main__":
+    main()
