@@ -20,7 +20,7 @@ import time
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="whisper_rs_tpu", description=__doc__)
     p.add_argument("audio", nargs="+", help="audio file(s): wav (mp3 via native runtime)")
-    p.add_argument("--checkpoint", required=True, help="OpenAI whisper .pt checkpoint")
+    p.add_argument("--checkpoint", required=True, help="OpenAI whisper .pt file or HF transformers checkpoint dir")
     p.add_argument("--tokenizer", default=None, help="tokenizer json (gpt2)")
     p.add_argument(
         "--language", default="en",
@@ -57,7 +57,7 @@ def main(argv=None) -> int:
 
     from .audio.io import load_audio
     from .config import BeamSearchMode, DecodeOptions, GreedyMode, TranscribeOptions
-    from .models import load_openai_checkpoint
+    from .models import load_checkpoint
     from .tokenize import Task, Tokenizer
     from .transcribe import TranscribeTask
     from .utils.debug import log, step_timer
@@ -65,7 +65,7 @@ def main(argv=None) -> int:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     with step_timer("load checkpoint"):
-        params, dims = load_openai_checkpoint(args.checkpoint, dtype=dtype)
+        params, dims = load_checkpoint(args.checkpoint, dtype=dtype)
 
     if args.quant == "int8":
         from .models.quantize import quantize_params

@@ -1,5 +1,7 @@
 from .params import (
     init_params,
+    load_checkpoint,
+    load_hf_checkpoint,
     load_openai_checkpoint,
     params_from_state_dict,
 )
@@ -19,6 +21,8 @@ __all__ = [
     "decoder_forward",
     "encoder_forward",
     "init_params",
+    "load_checkpoint",
+    "load_hf_checkpoint",
     "load_openai_checkpoint",
     "model_forward",
     "params_from_state_dict",

@@ -246,3 +246,112 @@ def load_openai_checkpoint(path: str, dtype=jnp.float32):
             "expected an OpenAI whisper checkpoint with 'model_state_dict'"
         )
     return params_from_state_dict(sd, dims, dtype), dims
+
+
+# ---------------------------------------------------------------------------
+# Hugging Face transformers checkpoints (WhisperForConditionalGeneration)
+# ---------------------------------------------------------------------------
+
+# HF module path -> OpenAI name fragment, applied inside each layer block.
+_HF_LAYER_MAP = {
+    "self_attn.q_proj": "attn.query",
+    "self_attn.k_proj": "attn.key",
+    "self_attn.v_proj": "attn.value",
+    "self_attn.out_proj": "attn.out",
+    "self_attn_layer_norm": "attn_ln",
+    "encoder_attn.q_proj": "cross_attn.query",
+    "encoder_attn.k_proj": "cross_attn.key",
+    "encoder_attn.v_proj": "cross_attn.value",
+    "encoder_attn.out_proj": "cross_attn.out",
+    "encoder_attn_layer_norm": "cross_attn_ln",
+    "fc1": "mlp.0",
+    "fc2": "mlp.2",
+    "final_layer_norm": "mlp_ln",
+}
+
+_HF_TOP_MAP = {
+    "encoder.layer_norm": "encoder.ln_post",
+    "decoder.layer_norm": "decoder.ln",
+    "decoder.embed_tokens": "decoder.token_embedding",
+}
+
+
+def hf_rename_state_dict(sd: dict) -> dict:
+    """HF transformers Whisper names -> OpenAI names (then reuse
+    ``params_from_state_dict``).  Drops the encoder's fixed sinusoid
+    positional buffer and the tied ``proj_out``."""
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("model.")
+        if k.startswith("proj_out.") or k == "encoder.embed_positions.weight":
+            continue  # tied to embed_tokens / recomputed sinusoids
+        if k == "decoder.embed_positions.weight":
+            out["decoder.positional_embedding"] = v
+            continue
+        parts = k.split(".")
+        if len(parts) >= 3 and parts[1] == "layers":
+            side, _, idx = parts[0], parts[1], parts[2]
+            rest = ".".join(parts[3:-1])  # module path without param name
+            mapped = _HF_LAYER_MAP.get(rest)
+            if mapped is None:
+                raise KeyError(f"unrecognized HF layer param: {k}")
+            out[f"{side}.blocks.{idx}.{mapped}.{parts[-1]}"] = v
+            continue
+        prefix, param = k.rsplit(".", 1)
+        out[f"{_HF_TOP_MAP.get(prefix, prefix)}.{param}"] = v
+    return out
+
+
+def hf_dims_from_config(cfg: dict) -> ModelDims:
+    """ModelDims from an HF transformers Whisper ``config.json`` dict."""
+    return ModelDims(
+        n_mels=cfg["num_mel_bins"],
+        n_vocab=cfg["vocab_size"],
+        n_audio_ctx=cfg["max_source_positions"],
+        n_audio_state=cfg["d_model"],
+        n_audio_head=cfg["encoder_attention_heads"],
+        n_audio_layer=cfg["encoder_layers"],
+        n_text_ctx=cfg["max_target_positions"],
+        n_text_state=cfg["d_model"],
+        n_text_head=cfg["decoder_attention_heads"],
+        n_text_layer=cfg["decoder_layers"],
+    )
+
+
+def load_hf_checkpoint(path: str, dtype=jnp.float32):
+    """Load an HF transformers Whisper checkpoint directory
+    (``config.json`` + ``model.safetensors`` or ``pytorch_model.bin``)
+    -> (params, ModelDims)."""
+    import json
+    import pathlib
+
+    d = pathlib.Path(path)
+    cfg = json.loads((d / "config.json").read_text())
+    dims = hf_dims_from_config(cfg)
+
+    st = d / "model.safetensors"
+    if st.exists():
+        from safetensors.numpy import load_file
+
+        sd = load_file(str(st))
+    else:
+        import torch
+
+        sd = {
+            k: v.numpy()
+            for k, v in torch.load(
+                d / "pytorch_model.bin", map_location="cpu", weights_only=True
+            ).items()
+        }
+    return params_from_state_dict(hf_rename_state_dict(sd), dims, dtype), dims
+
+
+def load_checkpoint(path: str, dtype=jnp.float32):
+    """Auto-detecting loader: an HF checkpoint directory (config.json) or an
+    OpenAI ``.pt`` file -> (params, ModelDims)."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if p.is_dir():
+        return load_hf_checkpoint(path, dtype)
+    return load_openai_checkpoint(path, dtype)
