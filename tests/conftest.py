@@ -18,6 +18,15 @@ if os.environ.get("WHISPER_TPU_TESTS") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Hardware runs are CORRECTNESS validation: force 3-pass f32 matmuls so
+    # the f32 torch-oracle tolerances hold on the MXU (default TPU f32
+    # precision is bf16-pass, ~1e-2 — enough to fail the tight parity
+    # suites while meaning nothing semantically).  Perf is measured by
+    # bench.py/tools, never by pytest.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import pathlib
 

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    not (pathlib.Path(__file__).parents[1] / "assets" / "gpt2.json").exists(),
+    not (pathlib.Path(__file__).parents[1] / "whisper_rs_tpu" / "assets" / "gpt2.json").exists(),
     reason="gpt2.json fixture unavailable",
 )
 
@@ -155,7 +155,7 @@ def multilingual_setup(tmp_path_factory):
     from whisper_rs_tpu.config import ModelDims
 
     root = tmp_path_factory.mktemp("multi")
-    src = pathlib.Path(__file__).parents[1] / "assets" / "gpt2.json"
+    src = pathlib.Path(__file__).parents[1] / "whisper_rs_tpu" / "assets" / "gpt2.json"
     tok = json.loads(src.read_text())
     vocab = tok["model"]["vocab"]
     assert vocab["<|endoftext|>"] == 50256

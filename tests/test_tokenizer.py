@@ -6,7 +6,7 @@ import pathlib
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    not (pathlib.Path(__file__).parents[1] / "assets" / "gpt2.json").exists(),
+    not (pathlib.Path(__file__).parents[1] / "whisper_rs_tpu" / "assets" / "gpt2.json").exists(),
     reason="gpt2.json fixture unavailable",
 )
 
