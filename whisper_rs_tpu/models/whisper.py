@@ -59,12 +59,24 @@ def _pallas_decode_mode() -> tuple:
         return True, True, False
     if env == "self":
         return True, False, False
-    if env == "cross":
-        return False, True, False
+    if env in ("cross", "layer"):  # "layer" falls back to cross where the
+        return False, True, False  # megakernel doesn't apply (prefill/beam)
     if env == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         return False, on_tpu, False
     return False, False, False
+
+
+def _pallas_layer_mode() -> tuple:
+    """(use_layer_kernel, interpret) for the whole-decoder-step megakernel
+    (ops/decoder_layer_fused.py).  WHISPER_PALLAS_DECODE="layer" enables it
+    (interpret-mode off-TPU, for CPU parity tests); any other mode disables
+    it.  NOT part of "auto" yet — pending hardware validation/bench."""
+    env = os.environ.get("WHISPER_PALLAS_DECODE", "auto")
+    if env != "layer":
+        return False, False
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    return True, not on_tpu
 
 
 # ---------------------------------------------------------------------------
@@ -539,6 +551,54 @@ def decoder_forward(
         pallas_self, pallas_cross, pallas_interpret = _pallas_decode_mode()
     else:
         pallas_self = pallas_cross = pallas_interpret = False
+
+    # Whole-decoder-step megakernel (all layers in ONE pallas_call: the
+    # cross-K/V DMA overlaps self-attention/MLP compute and the ~12 XLA ops
+    # per layer collapse away).  Greedy/sampling incremental step only;
+    # beam ancestors and int8 K/V use the dedicated kernels below.
+    if (
+        T == 1
+        and ancestors is None
+        and not quantized_self
+        and not quantized_cross
+        and "s" not in params["decoder"]["blocks"]["attn"]["query"]
+    ):
+        from ..ops.decoder_layer_fused import decoder_step_fused, layer_fused_ok
+
+        use_layer, layer_interpret = _pallas_layer_mode()
+        if use_layer and layer_fused_ok(
+            dims, B, cross_group, W, cross_kv.kv.shape[-1], False
+        ):
+            x1, k_cols, v_cols = decoder_step_fused(
+                x[:, 0, :],
+                dec["blocks"],
+                cross_kv.kv,
+                cache.k,
+                cache.v,
+                pos_offset,
+                key_start,
+                n_head=n_head,
+                group=cross_group,
+                window=W,
+                interpret=layer_interpret,
+            )
+            new_k = lax.dynamic_update_slice(
+                cache.k, k_cols[..., None], (0, 0, 0, 0, pos_offset)
+            )
+            new_v = lax.dynamic_update_slice(
+                cache.v, v_cols[:, :, :, None, :], (0, 0, 0, pos_offset, 0)
+            )
+            x = x1[:, None, :]
+            if logit_positions is not None:
+                x = jnp.take(x, logit_positions, axis=1)
+            x = layer_norm(x, dec["ln"])
+            logits = jnp.einsum(
+                "btd,vd->btv",
+                x.astype(logits_dtype),
+                tok_emb.astype(logits_dtype),
+                preferred_element_type=logits_dtype,
+            )
+            return logits, KVCache(new_k, new_v, None, None)
     # ancestor-resolved reads (beam gather-at-read) use the dedicated beam
     # kernel when any Pallas mode is on; the plain self kernel never sees
     # ancestors.  int8 self-cache rides the same kernel with whole-H

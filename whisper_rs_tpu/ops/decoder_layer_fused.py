@@ -1,0 +1,416 @@
+"""Whole-decoder-step Pallas megakernel: every layer, one kernel call.
+
+The incremental decode step (T==1) spends its time in two places (device
+trace, tools/profile_trace.py, base.en b32 full-W): the cross-attention
+K/V DMA (~0.82 ms/step through the dedicated cross kernel) and ~0.65 ms of
+XLA ops — self-attention cache reads at ~2.2x their bandwidth roofline plus
+~70 small per-step dispatches (LNs, projections, MLP, residuals, cache
+updates).  The two streams run strictly serialized: XLA cannot overlap its
+fusions with a pallas_call.
+
+This kernel runs the ENTIRE layer stack in one pallas_call per decode
+step with grid (layer, audio-chunk):
+
+  * per-layer weights are inputs whose BlockSpec index depends only on the
+    layer coordinate — the pipeline fetches each layer's weights once and
+    prefetches layer l+1's during layer l's compute;
+  * the fused cross-K/V ([L, A, H, 2, dh, Tk], see models.whisper.CrossKV)
+    and the self-cache tiles stream per grid step, double-buffered, so the
+    dominant DMA overlaps the self-attention/MLP compute of the previous
+    chunk instead of serializing after it;
+  * the residual stream x lives in a VMEM scratch ([nA, rows, n]) carried
+    across grid steps — layer l+1 chunk aj reads what layer l chunk aj
+    wrote (the TPU grid executes sequentially; dimension_semantics
+    "arbitrary");
+  * the current token's K/V are computed in-kernel and returned as
+    [L, B, H, dh] columns; the caller scatter-writes them into the cache at
+    the query position with ONE dynamic_update_slice per buffer (the scan
+    path needs one per layer), so the cache itself is read-only here and
+    the kernel writes no [*, W]-sized output.
+
+Semantics match the XLA block math of models.whisper.decoder_forward
+(reference seam: model.rs:186-206 + the residual block at model.rs:234-342)
+with f32 LayerNorm/softmax/accumulation and bf16 storage:
+
+  x += self_attn(ln1(x))       (cache window + in-register current token)
+  x += cross_attn(ln2(x))      (per-audio K/V shared by G group rows)
+  x += mlp(ln3(x))             (GELU: tanh approximation in bf16, like
+                                models.whisper.gelu)
+
+Greedy/sampling path only: beam ancestors and int8 K/V fall back to the
+dedicated kernels in ops/decode_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9  # finite mask value (NaN-free), matches ops/decode_attention.py
+
+
+def _ln(xf: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """f32 LayerNorm over the last axis (models.whisper.layer_norm)."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * w.astype(jnp.float32) + b.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def _dot(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """[r, k] @ [k, m] with f32 accumulation, result in a.dtype."""
+    out = jax.lax.dot_general(
+        a, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(a.dtype)
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU matching models.whisper.gelu: exact erf form in f32 (only ever
+    reached in interpret-mode parity tests — the TPU path is bf16), tanh
+    approximation in half precision."""
+    if x.dtype in (jnp.float32, jnp.float64):
+        inv_sqrt2 = jnp.asarray(0.7071067811865476, x.dtype)
+        return 0.5 * x * (1.0 + jax.lax.erf(x * inv_sqrt2))
+    c = jnp.asarray(0.7978845608028654, x.dtype)  # sqrt(2/pi)
+    k = jnp.asarray(0.044715, x.dtype)
+    half = jnp.asarray(0.5, x.dtype)
+    one = jnp.asarray(1.0, x.dtype)
+    return half * x * (one + jnp.tanh(c * (x + k * jnp.square(x) * x)))
+
+
+def _decoder_step_kernel(
+    # scalar prefetch
+    pos_ref,  # [1] absolute query position
+    ks_ref,  # [B] first valid cache slot per row
+    # tensor blocks (per grid step (l, aj))
+    x_ref,  # [1, r, n] current token activations (read at l==0 only)
+    wq_ref, bq_ref,  # [1, n, n], [1, 1, n]
+    wk_ref,  # [1, n, n] (no bias: model.rs:138-141)
+    wv_ref, bv_ref,
+    wo_ref, bo_ref,
+    ln1w_ref, ln1b_ref,  # [1, 1, n]
+    wcq_ref, bcq_ref,
+    wco_ref, bco_ref,
+    ln2w_ref, ln2b_ref,
+    w1_ref, b1_ref,  # [1, n, 4n], [1, 1, 4n]
+    w2_ref, b2_ref,  # [1, 4n, n], [1, 1, n]
+    ln3w_ref, ln3b_ref,
+    kv_ref,  # [1, ac, H, 2, dh, Tk] fused cross K^T/V^T
+    kc_ref,  # [1, 1, r, H, dh, W] self-cache K (transposed layout)
+    vc_ref,  # [1, 1, r, H, W, dh] self-cache V
+    # outputs
+    xo_ref,  # [1, r, n] final activations (every l writes; last wins)
+    ko_ref,  # [1, 1, r, n] this layer's new K column (flat head-major lanes)
+    vo_ref,  # [1, 1, r, n] this layer's new V column
+    # scratch
+    xs_ref,  # VMEM [nA, r, n] residual stream across layers
+    *,
+    n_head: int,
+    group: int,
+    scale: float,
+    dma_only: bool = False,
+):
+    l = pl.program_id(0)
+    aj = pl.program_id(1)
+    _, r, n = x_ref.shape
+    if dma_only:
+        # perf-debug mode (WHISPER_LAYER_DMAONLY=1): touch every stream
+        # lightly, skip the math — measures the pipeline's pure-DMA ceiling
+        t = (
+            jnp.sum(kv_ref[0, 0, 0, 0, :8].astype(jnp.float32))
+            + jnp.sum(kc_ref[0, 0, 0, 0, :8].astype(jnp.float32))
+            + jnp.sum(vc_ref[0, 0, 0, 0, :8].astype(jnp.float32))
+            + jnp.sum(wq_ref[0, :8].astype(jnp.float32))
+            + jnp.sum(w1_ref[0, :8].astype(jnp.float32))
+            + jnp.sum(w2_ref[0, :8].astype(jnp.float32))
+        )
+        xo_ref[0] = x_ref[0] + t.astype(x_ref.dtype)
+        ko_ref[0, 0] = x_ref[0]
+        vo_ref[0, 0] = x_ref[0]
+        return
+    dh = n // n_head
+    H = n_head
+    G = group
+    ac = r // G
+    W = kc_ref.shape[5]
+    Tk = kv_ref.shape[5]
+    dt = x_ref.dtype
+
+    @pl.when(l == 0)
+    def _():
+        xs_ref[aj] = x_ref[0]
+
+    x = xs_ref[aj]  # [r, n] bf16
+
+    # ---- self-attention over the cache window + current token ------------
+    h = _ln(x.astype(jnp.float32), ln1w_ref[0, 0], ln1b_ref[0, 0], dt)
+    q = (_dot(h, wq_ref[0]) + bq_ref[0]) * scale  # [r, n]
+    k_new = _dot(h, wk_ref[0])
+    v_new = _dot(h, wv_ref[0]) + bv_ref[0]
+    ko_ref[0, 0] = k_new
+    vo_ref[0, 0] = v_new
+
+    # per-row visibility over the cache window: slots [key_start, pos)
+    # (the current token's K/V are in-register, handled as an extra column)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (r, W), 1)
+    pos = pos_ref[0]
+    ks_rows = jnp.concatenate(
+        [jnp.full((1, W), ks_ref[aj * r + r0], jnp.int32) for r0 in range(r)],
+        axis=0,
+    ) if r > 1 else jnp.full((1, W), ks_ref[aj * r], jnp.int32)
+    visible = (ids < pos) & (ids >= ks_rows)  # [r, W]
+
+    # head-major self-attention on the VPU: all static lane slices, no
+    # vector reshapes (Mosaic cannot shape-cast [r, n] -> [r, H, dh])
+    head_attn = []
+    for hh in range(H):
+        sl = slice(hh * dh, (hh + 1) * dh)
+        q_h = q[:, sl].astype(jnp.float32)  # [r, dh]
+        k_h = kc_ref[0, 0, :, hh].astype(jnp.float32)  # [r, dh, W]
+        qk = jnp.sum(q_h[:, :, None] * k_h, axis=1)  # [r, W]
+        qk = jnp.where(visible, qk, NEG)
+        kn_h = k_new[:, sl].astype(jnp.float32)
+        vn_h = v_new[:, sl].astype(jnp.float32)
+        qk_cur = jnp.sum(q_h * kn_h, axis=-1, keepdims=True)  # [r, 1]
+        m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True), qk_cur)
+        e = jnp.exp(qk - m)  # [r, W]
+        e_cur = jnp.exp(qk_cur - m)  # [r, 1]
+        denom = jnp.sum(e, axis=-1, keepdims=True) + e_cur
+        v_h = vc_ref[0, 0, :, hh].astype(jnp.float32)  # [r, W, dh]
+        out_h = jnp.sum(e[:, :, None] * v_h, axis=1) + e_cur * vn_h
+        head_attn.append((out_h / denom).astype(dt))  # [r, dh]
+    attn = head_attn[0] if H == 1 else jnp.concatenate(head_attn, axis=1)
+    x = x + (_dot(attn, wo_ref[0]) + bo_ref[0])
+
+    # ---- cross-attention against the fused per-audio K^T/V^T -------------
+    h = _ln(x.astype(jnp.float32), ln2w_ref[0, 0], ln2b_ref[0, 0], dt)
+    qx = (_dot(h, wcq_ref[0]) + bcq_ref[0]) * scale  # [r, n]
+    audio_outs = []
+    for a in range(ac):
+        head_outs = []
+        for hh in range(H):
+            q_gh = qx[a * G:(a + 1) * G, hh * dh:(hh + 1) * dh]  # [G, dh]
+            k_t = kv_ref[0, a, hh, 0]  # [dh, Tk]
+            qk = jax.lax.dot_general(
+                q_gh, k_t, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, Tk]
+            m = jnp.max(qk, axis=-1, keepdims=True)
+            e = jnp.exp(qk - m)
+            w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+            v_t = kv_ref[0, a, hh, 1]  # [dh, Tk]
+            ov = jax.lax.dot_general(
+                w, v_t, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, dh]
+            head_outs.append(ov.astype(dt))
+        audio_outs.append(
+            head_outs[0] if H == 1 else jnp.concatenate(head_outs, axis=1)
+        )  # [G, n]
+    cross = audio_outs[0] if ac == 1 else jnp.concatenate(audio_outs, axis=0)
+    x = x + (_dot(cross, wco_ref[0]) + bco_ref[0])
+
+    # ---- MLP --------------------------------------------------------------
+    h = _ln(x.astype(jnp.float32), ln3w_ref[0, 0], ln3b_ref[0, 0], dt)
+    hid = _gelu(_dot(h, w1_ref[0]) + b1_ref[0])  # [r, 4n]
+    x = x + (_dot(hid, w2_ref[0]) + b2_ref[0])
+
+    xs_ref[aj] = x
+    xo_ref[0] = x
+
+
+def _vmem_estimate(
+    n: int, H: int, dh: int, r: int, ac: int, W: int, Tk: int
+) -> int:
+    """Double-buffered block bytes + rows-unrolled f32 attention temps."""
+    bpe = 2  # bf16
+    weights = (8 * n * n + 8 * n * n) * bpe  # qkv+o+cq+co (6n^2) + mlp (8n^2); round up
+    cross = ac * H * 2 * dh * Tk * bpe
+    cache = 2 * r * H * dh * W * bpe
+    blocks = 2 * (weights + cross + cache)
+    temps = r * 4 * H * dh * W * 4  # k/v f32 upcasts + products per row
+    return blocks + temps
+
+
+_BUDGET = 64 * 1024 * 1024  # leave headroom below the 100 MB scoped cap
+
+
+def layer_fused_ok(
+    dims, B: int, G: int, W: int, Tk: int, quantized: bool
+) -> bool:
+    """Shape gate for the megakernel (greedy/sampling, bf16 K/V only)."""
+    if quantized:
+        return False
+    n = dims.n_text_state
+    H = dims.n_text_head
+    dh = dims.head_dim
+    if n % 128 or dh % 8 or B % G:
+        return False
+    A = B // G
+    # smallest viable chunk must fit
+    return _vmem_estimate(n, H, dh, G, 1, W, Tk) <= _BUDGET and A >= 1
+
+
+def _pick_ac(n: int, H: int, dh: int, A: int, G: int, W: int, Tk: int) -> int:
+    import os
+
+    env = os.environ.get("WHISPER_LAYER_AC")
+    if env and A % int(env) == 0:
+        return int(env)
+    best = 1
+    for ac in range(1, A + 1):
+        if A % ac:
+            continue
+        if _vmem_estimate(n, H, dh, ac * G, ac, W, Tk) <= _BUDGET:
+            best = ac
+    return best
+
+
+def decoder_step_fused(
+    x: jnp.ndarray,  # [B, n] post-embedding activations for this step
+    blocks: dict,  # stacked per-layer decoder params (leaves [L, ...])
+    kv_cross: jnp.ndarray,  # [L, A, H, 2, dh, Tk]
+    k_cache: jnp.ndarray,  # [L, B, H, dh, n_ctx] (transposed K layout)
+    v_cache: jnp.ndarray,  # [L, B, H, n_ctx, dh]
+    pos: jnp.ndarray,  # scalar i32 absolute position of the query token
+    key_start: Optional[jnp.ndarray],  # [B] i32 or None
+    *,
+    n_head: int,
+    group: int,
+    window: int,  # static: attend cache slots [0, window)
+    interpret: bool = False,
+) -> tuple:
+    """Run all decoder layers for one token.  Returns (x_out [B, n],
+    k_cols [L, B, H, dh], v_cols [L, B, H, dh]) — the caller writes the
+    columns into the cache at ``pos`` (one dynamic_update_slice each)."""
+    B, n = x.shape
+    L = k_cache.shape[0]
+    H = n_head
+    dh = n // H
+    G = group
+    A = B // G
+    n_ctx = v_cache.shape[3]
+    Tk = kv_cross.shape[-1]
+    scale = dh**-0.5
+
+    W = min(window, n_ctx)
+    if W % 128:
+        W = min(-(-W // 128) * 128, n_ctx)
+    if key_start is None:
+        key_start = jnp.zeros((B,), jnp.int32)
+
+    ac = _pick_ac(n, H, dh, A, G, W, Tk)
+    r = ac * G
+    nA = A // ac
+
+    kc6 = k_cache.reshape(L, nA, r, H, dh, n_ctx)
+    vc6 = v_cache.reshape(L, nA, r, H, n_ctx, dh)
+
+    def lspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1,) + shape, lambda l, aj, p, s: (l,) + (0,) * nd
+        )
+
+    bb = blocks
+    n4 = bb["mlp"]["fc1"]["w"].shape[-1]
+
+    in_specs = [
+        pl.BlockSpec((1, r, n), lambda l, aj, p, s: (aj, 0, 0)),  # x
+        lspec((n, n)), lspec((1, n)),  # wq, bq
+        lspec((n, n)),  # wk
+        lspec((n, n)), lspec((1, n)),  # wv, bv
+        lspec((n, n)), lspec((1, n)),  # wo, bo
+        lspec((1, n)), lspec((1, n)),  # ln1 w, b
+        lspec((n, n)), lspec((1, n)),  # wcq, bcq
+        lspec((n, n)), lspec((1, n)),  # wco, bco
+        lspec((1, n)), lspec((1, n)),  # ln2
+        lspec((n, n4)), lspec((1, n4)),  # w1, b1
+        lspec((n4, n)), lspec((1, n)),  # w2, b2
+        lspec((1, n)), lspec((1, n)),  # ln3
+        pl.BlockSpec(
+            (1, ac, H, 2, dh, Tk), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+        ),  # cross kv
+        pl.BlockSpec(
+            (1, 1, r, H, dh, W), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+        ),  # k cache
+        pl.BlockSpec(
+            (1, 1, r, H, W, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+        ),  # v cache
+    ]
+    out_specs = [
+        pl.BlockSpec((1, r, n), lambda l, aj, p, s: (aj, 0, 0)),  # x_out
+        pl.BlockSpec(
+            (1, 1, r, n), lambda l, aj, p, s: (l, aj, 0, 0)
+        ),  # k col
+        pl.BlockSpec(
+            (1, 1, r, n), lambda l, aj, p, s: (l, aj, 0, 0)
+        ),  # v col
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, nA),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((nA, r, n), x.dtype)],
+    )
+    vmem_need = _vmem_estimate(n, H, dh, r, ac, W, Tk)
+    vmem_limit = None
+    if vmem_need > 9 * 1024 * 1024:
+        vmem_limit = min(
+            -(-(2 * vmem_need) // (1024 * 1024)) * 1024 * 1024,
+            100 * 1024 * 1024,
+        )
+
+    import os
+
+    kernel = functools.partial(
+        _decoder_step_kernel, n_head=H, group=G, scale=scale,
+        dma_only=os.environ.get("WHISPER_LAYER_DMAONLY") == "1",
+    )
+    x_out, k_cols, v_cols = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nA, r, n), x.dtype),
+            jax.ShapeDtypeStruct((L, nA, r, n), x.dtype),
+            jax.ShapeDtypeStruct((L, nA, r, n), x.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
+        ),
+    )(
+        jnp.reshape(pos, (1,)).astype(jnp.int32),
+        key_start.astype(jnp.int32),
+        x.reshape(nA, r, n),
+        bb["attn"]["query"]["w"], bb["attn"]["query"]["b"][:, None, :],
+        bb["attn"]["key"]["w"],
+        bb["attn"]["value"]["w"], bb["attn"]["value"]["b"][:, None, :],
+        bb["attn"]["out"]["w"], bb["attn"]["out"]["b"][:, None, :],
+        bb["attn_ln"]["scale"][:, None, :], bb["attn_ln"]["bias"][:, None, :],
+        bb["cross_attn"]["query"]["w"], bb["cross_attn"]["query"]["b"][:, None, :],
+        bb["cross_attn"]["out"]["w"], bb["cross_attn"]["out"]["b"][:, None, :],
+        bb["cross_attn_ln"]["scale"][:, None, :],
+        bb["cross_attn_ln"]["bias"][:, None, :],
+        bb["mlp"]["fc1"]["w"], bb["mlp"]["fc1"]["b"][:, None, :],
+        bb["mlp"]["fc2"]["w"], bb["mlp"]["fc2"]["b"][:, None, :],
+        bb["mlp_ln"]["scale"][:, None, :], bb["mlp_ln"]["bias"][:, None, :],
+        kv_cross,
+        kc6,
+        vc6,
+    )
+    return (
+        x_out.reshape(B, n),
+        k_cols.reshape(L, B, H, dh),
+        v_cols.reshape(L, B, H, dh),
+    )
