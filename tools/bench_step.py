@@ -41,16 +41,24 @@ def main():
         for _ in range(4)
     ]
 
+    from whisper_rs_tpu.models.whisper import _pallas_layer_mode
+
     @jax.jit
     def run(params, xa):
         cross_kv = precompute_cross_kv(params, xa, dims)
         cache = KVCache.init(dims, B, dtype=dtype)
         tokens = jnp.zeros((B, 1), jnp.int32)
 
+        packed = None
+        if _pallas_layer_mode()[0]:
+            from whisper_rs_tpu.ops.decoder_layer_fused import pack_block_params
+
+            packed = pack_block_params(params["decoder"]["blocks"])
+
         def body(i, state):
             tokens, cache, acc = state
             logits, cache = decoder_forward(
-                params, tokens, i, cross_kv, cache, dims
+                params, tokens, i, cross_kv, cache, dims, packed=packed
             )
             nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
             return nxt[:, None] % dims.n_vocab, cache, acc + jnp.sum(logits[:, 0, :8])

@@ -125,6 +125,7 @@ def _encode_and_prefill(
 def _step_logits(
     params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin,
     key_start=None, cross_group: int = 1, ctx_window=None, ancestors=None,
+    packed=None,
 ):
     """One incremental decoder step: feed the token at pos-1, return
     filtered logits for position pos and the updated cache."""
@@ -135,6 +136,7 @@ def _step_logits(
     logits, cache = decoder_forward(
         params, tok_in, pos - 1, cross_kv, cache, dims, key_start=key_start,
         cross_group=cross_group, ctx_window=ctx_window, ancestors=ancestors,
+        packed=packed,
     )
     filtered = apply_filters(
         cfg, logits[:, 0].astype(jnp.float32), tokens, pos, sample_begin
@@ -265,6 +267,17 @@ def decode_greedy(
     # phased cache windows: loop bounds from decode/mod.rs:234,274-276
     # (sample_len steps max, stop when all rows emitted EOT or the context
     # is full), with attention reads statically capped per phase
+    # pre-pack per-layer decoder weights for the megakernel OUTSIDE the
+    # while loop (a loop-invariant operand — XLA hoists it; packing inside
+    # the loop body costs a per-step copy, measured +0.3 ms at base.en b32)
+    from ..models.whisper import _pallas_layer_mode
+
+    packed = None
+    if _pallas_layer_mode()[0]:
+        from ..ops.decoder_layer_fused import pack_block_params
+
+        packed = pack_block_params(params["decoder"]["blocks"])
+
     s = init
     for W in _phase_windows(n_ctx, initial_tokens.shape[1], sample_len):
 
@@ -274,7 +287,7 @@ def decode_greedy(
         def body(st: _GreedyState, W=W):
             logits, cache = _step_logits(
                 params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg,
-                sample_begin, key_start, group, ctx_window=W,
+                sample_begin, key_start, group, ctx_window=W, packed=packed,
             )
             tokens, sum_lp, finished = _greedy_update(
                 logits, st.tokens, st.pos, st.sum_logprobs, st.finished, eot,

@@ -469,6 +469,7 @@ def decoder_forward(
     ctx_window: Optional[int] = None,  # static cap on attended cache slots
     ancestors: Optional[jnp.ndarray] = None,  # [B, n_ctx] global source rows
     logits_dtype=jnp.float32,
+    packed: Optional[tuple] = None,  # pre-packed megakernel weights
 ) -> tuple:
     """One decoder pass (prefill if T>1, incremental if T==1).
 
@@ -581,6 +582,7 @@ def decoder_forward(
                 group=cross_group,
                 window=W,
                 interpret=layer_interpret,
+                packed=packed,
             )
             new_k = lax.dynamic_update_slice(
                 cache.k, k_cols[..., None], (0, 0, 0, 0, pos_offset)

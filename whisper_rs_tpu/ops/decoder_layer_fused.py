@@ -11,22 +11,31 @@ fusions with a pallas_call.
 This kernel runs the ENTIRE layer stack in one pallas_call per decode
 step with grid (layer, audio-chunk):
 
-  * per-layer weights are inputs whose BlockSpec index depends only on the
-    layer coordinate — the pipeline fetches each layer's weights once and
-    prefetches layer l+1's during layer l's compute;
+  * per-layer weights stream as ONE packed [L, n, 14n] array (plus one
+    [L, 16, n] array of biases/LN params) whose BlockSpec index depends
+    only on the layer coordinate — fetched once per layer, prefetched
+    during the previous layer's compute.  Packing matters: with the same
+    bytes split across 20 arrays the pipeline runs at 442 GB/s; packed, at
+    ~600 GB/s (measured, v5e — same many-small-streams penalty the fused
+    CrossKV fixed for the cross kernel);
   * the fused cross-K/V ([L, A, H, 2, dh, Tk], see models.whisper.CrossKV)
     and the self-cache tiles stream per grid step, double-buffered, so the
-    dominant DMA overlaps the self-attention/MLP compute of the previous
-    chunk instead of serializing after it;
+    dominant DMA overlaps compute (DMA-only ablation == full-compute step
+    time: the math hides entirely);
   * the residual stream x lives in a VMEM scratch ([nA, rows, n]) carried
     across grid steps — layer l+1 chunk aj reads what layer l chunk aj
     wrote (the TPU grid executes sequentially; dimension_semantics
     "arbitrary");
   * the current token's K/V are computed in-kernel and returned as
-    [L, B, H, dh] columns; the caller scatter-writes them into the cache at
+    [L, B, n] columns; the caller scatter-writes them into the cache at
     the query position with ONE dynamic_update_slice per buffer (the scan
-    path needs one per layer), so the cache itself is read-only here and
-    the kernel writes no [*, W]-sized output.
+    path needs one per layer), so the cache is read-only here and the
+    kernel writes no [*, W]-sized output.
+
+The packed weight arrays are built with jnp.concatenate INSIDE the jitted
+step; XLA's while-loop invariant code motion hoists the (loop-invariant)
+packing out of the decode loop, so it costs one copy per window, not per
+step (verified: step time matches the DMA roofline of the packed layout).
 
 Semantics match the XLA block math of models.whisper.decoder_forward
 (reference seam: model.rs:186-206 + the residual block at model.rs:234-342)
@@ -44,6 +53,7 @@ dedicated kernels in ops/decode_attention.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -52,6 +62,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9  # finite mask value (NaN-free), matches ops/decode_attention.py
+
+# rows of the packed small-params array [L, 16, n]
+_ROW_LN1W, _ROW_LN1B, _ROW_BQ, _ROW_BV, _ROW_BO = 0, 1, 2, 3, 4
+_ROW_LN2W, _ROW_LN2B, _ROW_BCQ, _ROW_BCO = 5, 6, 7, 8
+_ROW_LN3W, _ROW_LN3B, _ROW_B2, _ROW_B1 = 9, 10, 11, 12  # b1 row is 4n wide
 
 
 def _ln(xf: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, out_dtype) -> jnp.ndarray:
@@ -67,6 +82,17 @@ def _dot(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """[r, k] @ [k, m] with f32 accumulation, result in a.dtype."""
     out = jax.lax.dot_general(
         a, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(a.dtype)
+
+
+def _dot_t(a: jnp.ndarray, wt: jnp.ndarray) -> jnp.ndarray:
+    """[r, k] @ [m, k]^T (weight stored transposed).  The smaller operand
+    goes first — Mosaic's bf16 lowering of last-dim/last-dim contractions
+    fails with the larger operand first (see ROADMAP hard-won facts)."""
+    out = jax.lax.dot_general(
+        a, wt, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     return out.astype(a.dtype)
@@ -92,17 +118,10 @@ def _decoder_step_kernel(
     ks_ref,  # [B] first valid cache slot per row
     # tensor blocks (per grid step (l, aj))
     x_ref,  # [1, r, n] current token activations (read at l==0 only)
-    wq_ref, bq_ref,  # [1, n, n], [1, 1, n]
-    wk_ref,  # [1, n, n] (no bias: model.rs:138-141)
-    wv_ref, bv_ref,
-    wo_ref, bo_ref,
-    ln1w_ref, ln1b_ref,  # [1, 1, n]
-    wcq_ref, bcq_ref,
-    wco_ref, bco_ref,
-    ln2w_ref, ln2b_ref,
-    w1_ref, b1_ref,  # [1, n, 4n], [1, 1, 4n]
-    w2_ref, b2_ref,  # [1, 4n, n], [1, 1, n]
-    ln3w_ref, ln3b_ref,
+    w_ref,  # [1, n, 14n]: wq|wk|wv|wo|wcq|wco | w1 (4n) | w2^T (4n)
+    sp_ref,  # [1, 16, 4n]: biases + LN params (row map above; n-wide rows
+    #   use lanes [0, n), the b1 row is full-width — a lane-concat of rows
+    #   at different sublane offsets is not lowerable on Mosaic)
     kv_ref,  # [1, ac, H, 2, dh, Tk] fused cross K^T/V^T
     kc_ref,  # [1, 1, r, H, dh, W] self-cache K (transposed layout)
     vc_ref,  # [1, 1, r, H, W, dh] self-cache V
@@ -128,9 +147,8 @@ def _decoder_step_kernel(
             jnp.sum(kv_ref[0, 0, 0, 0, :8].astype(jnp.float32))
             + jnp.sum(kc_ref[0, 0, 0, 0, :8].astype(jnp.float32))
             + jnp.sum(vc_ref[0, 0, 0, 0, :8].astype(jnp.float32))
-            + jnp.sum(wq_ref[0, :8].astype(jnp.float32))
-            + jnp.sum(w1_ref[0, :8].astype(jnp.float32))
-            + jnp.sum(w2_ref[0, :8].astype(jnp.float32))
+            + jnp.sum(w_ref[0, :8].astype(jnp.float32))
+            + jnp.sum(sp_ref[0, :8].astype(jnp.float32))
         )
         xo_ref[0] = x_ref[0] + t.astype(x_ref.dtype)
         ko_ref[0, 0] = x_ref[0]
@@ -141,8 +159,18 @@ def _decoder_step_kernel(
     G = group
     ac = r // G
     W = kc_ref.shape[5]
-    Tk = kv_ref.shape[5]
     dt = x_ref.dtype
+
+    w = w_ref[0]  # [n, 14n]
+    sp = sp_ref[0]  # [16, n]
+
+    def wcol(i: int, width: int = 1):
+        return w[:, i * n:(i + width) * n]
+
+    def row(i: int):
+        return sp[i:i + 1, :n]  # [1, n]
+
+    b1 = sp[_ROW_B1:_ROW_B1 + 1]  # [1, 4n] (full-width row)
 
     @pl.when(l == 0)
     def _():
@@ -151,10 +179,10 @@ def _decoder_step_kernel(
     x = xs_ref[aj]  # [r, n] bf16
 
     # ---- self-attention over the cache window + current token ------------
-    h = _ln(x.astype(jnp.float32), ln1w_ref[0, 0], ln1b_ref[0, 0], dt)
-    q = (_dot(h, wq_ref[0]) + bq_ref[0]) * scale  # [r, n]
-    k_new = _dot(h, wk_ref[0])
-    v_new = _dot(h, wv_ref[0]) + bv_ref[0]
+    h = _ln(x.astype(jnp.float32), row(_ROW_LN1W), row(_ROW_LN1B), dt)
+    q = (_dot(h, wcol(0)) + row(_ROW_BQ)) * scale  # [r, n]
+    k_new = _dot(h, wcol(1))
+    v_new = _dot(h, wcol(2)) + row(_ROW_BV)
     ko_ref[0, 0] = k_new
     vo_ref[0, 0] = v_new
 
@@ -188,11 +216,11 @@ def _decoder_step_kernel(
         out_h = jnp.sum(e[:, :, None] * v_h, axis=1) + e_cur * vn_h
         head_attn.append((out_h / denom).astype(dt))  # [r, dh]
     attn = head_attn[0] if H == 1 else jnp.concatenate(head_attn, axis=1)
-    x = x + (_dot(attn, wo_ref[0]) + bo_ref[0])
+    x = x + (_dot(attn, wcol(3)) + row(_ROW_BO))
 
     # ---- cross-attention against the fused per-audio K^T/V^T -------------
-    h = _ln(x.astype(jnp.float32), ln2w_ref[0, 0], ln2b_ref[0, 0], dt)
-    qx = (_dot(h, wcq_ref[0]) + bcq_ref[0]) * scale  # [r, n]
+    h = _ln(x.astype(jnp.float32), row(_ROW_LN2W), row(_ROW_LN2B), dt)
+    qx = (_dot(h, wcol(4)) + row(_ROW_BCQ)) * scale  # [r, n]
     audio_outs = []
     for a in range(ac):
         head_outs = []
@@ -205,10 +233,10 @@ def _decoder_step_kernel(
             )  # [G, Tk]
             m = jnp.max(qk, axis=-1, keepdims=True)
             e = jnp.exp(qk - m)
-            w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+            wsm = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
             v_t = kv_ref[0, a, hh, 1]  # [dh, Tk]
             ov = jax.lax.dot_general(
-                w, v_t, dimension_numbers=(((1,), (1,)), ((), ())),
+                wsm, v_t, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, dh]
             head_outs.append(ov.astype(dt))
@@ -216,12 +244,12 @@ def _decoder_step_kernel(
             head_outs[0] if H == 1 else jnp.concatenate(head_outs, axis=1)
         )  # [G, n]
     cross = audio_outs[0] if ac == 1 else jnp.concatenate(audio_outs, axis=0)
-    x = x + (_dot(cross, wco_ref[0]) + bco_ref[0])
+    x = x + (_dot(cross, wcol(5)) + row(_ROW_BCO))
 
     # ---- MLP --------------------------------------------------------------
-    h = _ln(x.astype(jnp.float32), ln3w_ref[0, 0], ln3b_ref[0, 0], dt)
-    hid = _gelu(_dot(h, w1_ref[0]) + b1_ref[0])  # [r, 4n]
-    x = x + (_dot(hid, w2_ref[0]) + b2_ref[0])
+    h = _ln(x.astype(jnp.float32), row(_ROW_LN3W), row(_ROW_LN3B), dt)
+    hid = _gelu(_dot(h, wcol(6, 4)) + b1)  # [r, 4n]
+    x = x + (_dot_t(hid, wcol(10, 4)) + row(_ROW_B2))
 
     xs_ref[aj] = x
     xo_ref[0] = x
@@ -232,7 +260,7 @@ def _vmem_estimate(
 ) -> int:
     """Double-buffered block bytes + rows-unrolled f32 attention temps."""
     bpe = 2  # bf16
-    weights = (8 * n * n + 8 * n * n) * bpe  # qkv+o+cq+co (6n^2) + mlp (8n^2); round up
+    weights = (14 * n * n + 16 * n) * bpe
     cross = ac * H * 2 * dh * Tk * bpe
     cache = 2 * r * H * dh * W * bpe
     blocks = 2 * (weights + cross + cache)
@@ -260,8 +288,6 @@ def layer_fused_ok(
 
 
 def _pick_ac(n: int, H: int, dh: int, A: int, G: int, W: int, Tk: int) -> int:
-    import os
-
     env = os.environ.get("WHISPER_LAYER_AC")
     if env and A % int(env) == 0:
         return int(env)
@@ -272,6 +298,45 @@ def _pick_ac(n: int, H: int, dh: int, A: int, G: int, W: int, Tk: int) -> int:
         if _vmem_estimate(n, H, dh, ac * G, ac, W, Tk) <= _BUDGET:
             best = ac
     return best
+
+
+def pack_block_params(blocks: dict) -> tuple:
+    """(big [L, n, 14n], small [L, 16, n]) packed per-layer decoder weights.
+
+    One wide array per stream class: the Pallas pipeline runs ~1.4x faster
+    when the per-layer weight fetch is one DMA instead of twenty (v5e,
+    measured).  Called inside jit — XLA's while-loop LICM hoists it out of
+    the decode loop."""
+    at, ct, mlp = blocks["attn"], blocks["cross_attn"], blocks["mlp"]
+    big = jnp.concatenate(
+        [
+            at["query"]["w"], at["key"]["w"], at["value"]["w"], at["out"]["w"],
+            ct["query"]["w"], ct["out"]["w"],
+            mlp["fc1"]["w"], mlp["fc2"]["w"].swapaxes(1, 2),
+        ],
+        axis=2,
+    )
+    L, _, n = at["query"]["w"].shape
+    rows = [
+        blocks["attn_ln"]["scale"], blocks["attn_ln"]["bias"],
+        at["query"]["b"], at["value"]["b"], at["out"]["b"],
+        blocks["cross_attn_ln"]["scale"], blocks["cross_attn_ln"]["bias"],
+        ct["query"]["b"], ct["out"]["b"],
+        blocks["mlp_ln"]["scale"], blocks["mlp_ln"]["bias"],
+        mlp["fc2"]["b"],
+    ]
+    # n-wide rows are padded to 4n so b1 fits as ONE full-width row (the
+    # kernel cannot lane-concat rows at different sublane offsets)
+    pad = jnp.zeros((L, 1, 3 * n), rows[0].dtype)
+    small = jnp.concatenate(
+        [
+            jnp.concatenate([r[:, None, :], pad], axis=2) for r in rows
+        ]
+        + [mlp["fc1"]["b"][:, None, :]]
+        + [jnp.zeros((L, 3, 4 * n), rows[0].dtype)],
+        axis=1,
+    )
+    return big, small
 
 
 def decoder_step_fused(
@@ -287,6 +352,7 @@ def decoder_step_fused(
     group: int,
     window: int,  # static: attend cache slots [0, window)
     interpret: bool = False,
+    packed: Optional[tuple] = None,  # (big, small) from pack_block_params
 ) -> tuple:
     """Run all decoder layers for one token.  Returns (x_out [B, n],
     k_cols [L, B, H, dh], v_cols [L, B, H, dh]) — the caller writes the
@@ -313,29 +379,17 @@ def decoder_step_fused(
 
     kc6 = k_cache.reshape(L, nA, r, H, dh, n_ctx)
     vc6 = v_cache.reshape(L, nA, r, H, n_ctx, dh)
-
-    def lspec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            (1,) + shape, lambda l, aj, p, s: (l,) + (0,) * nd
-        )
-
-    bb = blocks
-    n4 = bb["mlp"]["fc1"]["w"].shape[-1]
+    if packed is not None:
+        # pre-packed outside the jitted decode loop — avoids relying on
+        # XLA LICM to hoist the packing concats out of the while loop
+        big, small = packed
+    else:
+        big, small = pack_block_params(blocks)
 
     in_specs = [
         pl.BlockSpec((1, r, n), lambda l, aj, p, s: (aj, 0, 0)),  # x
-        lspec((n, n)), lspec((1, n)),  # wq, bq
-        lspec((n, n)),  # wk
-        lspec((n, n)), lspec((1, n)),  # wv, bv
-        lspec((n, n)), lspec((1, n)),  # wo, bo
-        lspec((1, n)), lspec((1, n)),  # ln1 w, b
-        lspec((n, n)), lspec((1, n)),  # wcq, bcq
-        lspec((n, n)), lspec((1, n)),  # wco, bco
-        lspec((1, n)), lspec((1, n)),  # ln2
-        lspec((n, n4)), lspec((1, n4)),  # w1, b1
-        lspec((n4, n)), lspec((1, n)),  # w2, b2
-        lspec((1, n)), lspec((1, n)),  # ln3
+        pl.BlockSpec((1, n, 14 * n), lambda l, aj, p, s: (l, 0, 0)),  # big w
+        pl.BlockSpec((1, 16, 4 * n), lambda l, aj, p, s: (l, 0, 0)),  # small
         pl.BlockSpec(
             (1, ac, H, 2, dh, Tk), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
         ),  # cross kv
@@ -370,8 +424,6 @@ def decoder_step_fused(
             100 * 1024 * 1024,
         )
 
-    import os
-
     kernel = functools.partial(
         _decoder_step_kernel, n_head=H, group=G, scale=scale,
         dma_only=os.environ.get("WHISPER_LAYER_DMAONLY") == "1",
@@ -393,18 +445,8 @@ def decoder_step_fused(
         jnp.reshape(pos, (1,)).astype(jnp.int32),
         key_start.astype(jnp.int32),
         x.reshape(nA, r, n),
-        bb["attn"]["query"]["w"], bb["attn"]["query"]["b"][:, None, :],
-        bb["attn"]["key"]["w"],
-        bb["attn"]["value"]["w"], bb["attn"]["value"]["b"][:, None, :],
-        bb["attn"]["out"]["w"], bb["attn"]["out"]["b"][:, None, :],
-        bb["attn_ln"]["scale"][:, None, :], bb["attn_ln"]["bias"][:, None, :],
-        bb["cross_attn"]["query"]["w"], bb["cross_attn"]["query"]["b"][:, None, :],
-        bb["cross_attn"]["out"]["w"], bb["cross_attn"]["out"]["b"][:, None, :],
-        bb["cross_attn_ln"]["scale"][:, None, :],
-        bb["cross_attn_ln"]["bias"][:, None, :],
-        bb["mlp"]["fc1"]["w"], bb["mlp"]["fc1"]["b"][:, None, :],
-        bb["mlp"]["fc2"]["w"], bb["mlp"]["fc2"]["b"][:, None, :],
-        bb["mlp_ln"]["scale"][:, None, :], bb["mlp_ln"]["bias"][:, None, :],
+        big,
+        small,
         kv_cross,
         kc6,
         vc6,
