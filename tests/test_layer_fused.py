@@ -52,22 +52,28 @@ def test_megakernel_step_matches_xla(group, window, monkeypatch):
     params, ckv, cache, tok1, _ = _setup(group, batch, prompt)
     ks = jnp.asarray([0, 1, 2, 0][:batch], jnp.int32)
 
-    def step():
+    def step(fused: bool):
+        # the megakernel contract: the caller flips K ctx-major (the
+        # greedy decode loop does this once after prefill)
+        c = cache._replace(k=cache.k.swapaxes(-1, -2)) if fused else cache
         return decoder_forward(
-            params, tok1, jnp.int32(prompt), ckv, cache, DIMS,
+            params, tok1, jnp.int32(prompt), ckv, c, DIMS,
             key_start=ks, cross_group=group, ctx_window=window,
+            k_ctx_major=fused,
         )
 
     monkeypatch.setenv("WHISPER_PALLAS_DECODE", "0")
-    ref, ref_cache = step()
+    ref, ref_cache = step(False)
     monkeypatch.setenv("WHISPER_PALLAS_DECODE", "layer")
-    got, got_cache = step()
+    got, got_cache = step(True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
     # the fused path writes the same K/V column the scan path writes
+    # (fused K comes back ctx-major)
     np.testing.assert_allclose(
-        np.asarray(got_cache.k), np.asarray(ref_cache.k), rtol=1e-5, atol=1e-5
+        np.asarray(got_cache.k.swapaxes(-1, -2)), np.asarray(ref_cache.k),
+        rtol=1e-5, atol=1e-5,
     )
     np.testing.assert_allclose(
         np.asarray(got_cache.v), np.asarray(ref_cache.v), rtol=1e-5, atol=1e-5
@@ -77,15 +83,17 @@ def test_megakernel_step_matches_xla(group, window, monkeypatch):
 def test_megakernel_no_keystart_matches_xla(monkeypatch):
     params, ckv, cache, tok1, _ = _setup(1, 2, 3)
 
-    def step():
+    def step(fused: bool):
+        c = cache._replace(k=cache.k.swapaxes(-1, -2)) if fused else cache
         return decoder_forward(
-            params, tok1, jnp.int32(3), ckv, cache, DIMS, cross_group=1
+            params, tok1, jnp.int32(3), ckv, c, DIMS, cross_group=1,
+            k_ctx_major=fused,
         )
 
     monkeypatch.setenv("WHISPER_PALLAS_DECODE", "0")
-    ref, _ = step()
+    ref, _ = step(False)
     monkeypatch.setenv("WHISPER_PALLAS_DECODE", "layer")
-    got, _ = step()
+    got, _ = step(True)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
     )

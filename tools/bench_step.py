@@ -50,15 +50,18 @@ def main():
         tokens = jnp.zeros((B, 1), jnp.int32)
 
         packed = None
-        if _pallas_layer_mode()[0]:
+        fused = _pallas_layer_mode()[0]
+        if fused:
             from whisper_rs_tpu.ops.decoder_layer_fused import pack_block_params
 
             packed = pack_block_params(params["decoder"]["blocks"])
+            cache = cache._replace(k=cache.k.swapaxes(-1, -2))
 
         def body(i, state):
             tokens, cache, acc = state
             logits, cache = decoder_forward(
-                params, tokens, i, cross_kv, cache, dims, packed=packed
+                params, tokens, i, cross_kv, cache, dims, packed=packed,
+                k_ctx_major=fused,
             )
             nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
             return nxt[:, None] % dims.n_vocab, cache, acc + jnp.sum(logits[:, 0, :8])

@@ -41,17 +41,28 @@ def main():
          ).astype(np.float32)
     ).astype(dtype)
 
+    from whisper_rs_tpu.models.whisper import _pallas_layer_mode
+
     @jax.jit
     def run(params, xa):
         cross_kv = precompute_cross_kv(params, xa, dims)
         cache = KVCache.init(dims, B, dtype=dtype)
         tokens = jnp.zeros((B, dims.n_text_ctx), jnp.int32)
 
+        packed = None
+        fused = _pallas_layer_mode()[0]
+        if fused:
+            from whisper_rs_tpu.ops.decoder_layer_fused import pack_block_params
+
+            packed = pack_block_params(params["decoder"]["blocks"])
+            cache = cache._replace(k=cache.k.swapaxes(-1, -2))
+
         def body(i, state):
             cache, acc = state
             tok_in = lax.dynamic_slice(tokens, (0, i % 100), (B, 1))
             logits, cache = decoder_forward(
-                params, tok_in, i % 100, cross_kv, cache, dims
+                params, tok_in, i % 100, cross_kv, cache, dims,
+                packed=packed, k_ctx_major=fused,
             )
             return cache, acc + logits[:, 0, 0].astype(jnp.float32)
 

@@ -125,7 +125,7 @@ def _encode_and_prefill(
 def _step_logits(
     params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin,
     key_start=None, cross_group: int = 1, ctx_window=None, ancestors=None,
-    packed=None,
+    packed=None, k_ctx_major=False,
 ):
     """One incremental decoder step: feed the token at pos-1, return
     filtered logits for position pos and the updated cache."""
@@ -136,7 +136,7 @@ def _step_logits(
     logits, cache = decoder_forward(
         params, tok_in, pos - 1, cross_kv, cache, dims, key_start=key_start,
         cross_group=cross_group, ctx_window=ctx_window, ancestors=ancestors,
-        packed=packed,
+        packed=packed, k_ctx_major=k_ctx_major,
     )
     filtered = apply_filters(
         cfg, logits[:, 0].astype(jnp.float32), tokens, pos, sample_begin
@@ -267,16 +267,31 @@ def decode_greedy(
     # phased cache windows: loop bounds from decode/mod.rs:234,274-276
     # (sample_len steps max, stop when all rows emitted EOT or the context
     # is full), with attention reads statically capped per phase
-    # pre-pack per-layer decoder weights for the megakernel OUTSIDE the
-    # while loop (a loop-invariant operand — XLA hoists it; packing inside
-    # the loop body costs a per-step copy, measured +0.3 ms at base.en b32)
+    # Megakernel prep (WHISPER_PALLAS_DECODE=layer): pre-pack per-layer
+    # decoder weights OUTSIDE the while loop (a loop-invariant operand —
+    # packing inside the loop body costs a per-step copy, measured +0.3 ms
+    # at base.en b32), and flip the K cache from the hybrid path's
+    # transposed [L, B, H, dh, ctx] to ctx-major [L, B, H, ctx, dh]: the
+    # kernel reads either layout equally fast, but the per-step K column
+    # write is an in-place sublane dynamic_update_slice only in ctx-major
+    # form (the lane-column write copy-lowers, ~312 us/step base.en b32).
+    # One 2x-cache-sized transpose per window, amortized over <=224 steps.
     from ..models.whisper import _pallas_layer_mode
 
     packed = None
-    if _pallas_layer_mode()[0]:
-        from ..ops.decoder_layer_fused import pack_block_params
+    use_fused = False
+    if _pallas_layer_mode()[0] and not quantize_kv:
+        from ..ops.decoder_layer_fused import layer_fused_ok, pack_block_params
 
-        packed = pack_block_params(params["decoder"]["blocks"])
+        use_fused = layer_fused_ok(
+            dims, tokens.shape[0], group, n_ctx, cross_kv.kv.shape[-1],
+            quantize_kv,
+        ) and "s" not in params["decoder"]["blocks"]["attn"]["query"]
+        if use_fused:
+            packed = pack_block_params(params["decoder"]["blocks"])
+            init = init._replace(
+                cache=init.cache._replace(k=init.cache.k.swapaxes(-1, -2))
+            )
 
     s = init
     for W in _phase_windows(n_ctx, initial_tokens.shape[1], sample_len):
@@ -288,6 +303,7 @@ def decode_greedy(
             logits, cache = _step_logits(
                 params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg,
                 sample_begin, key_start, group, ctx_window=W, packed=packed,
+                k_ctx_major=use_fused,
             )
             tokens, sum_lp, finished = _greedy_update(
                 logits, st.tokens, st.pos, st.sum_logprobs, st.finished, eot,

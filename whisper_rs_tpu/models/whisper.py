@@ -59,9 +59,10 @@ def _pallas_decode_mode() -> tuple:
         return True, True, False
     if env == "self":
         return True, False, False
-    if env in ("cross", "layer"):  # "layer" falls back to cross where the
-        return False, True, False  # megakernel doesn't apply (prefill/beam)
-    if env == "auto":
+    if env == "cross":
+        return False, True, False
+    if env in ("auto", "layer"):  # "layer" falls back to the cross kernel
+        # where the megakernel doesn't apply (prefill/beam) — TPU only
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         return False, on_tpu, False
     return False, False, False
@@ -470,6 +471,8 @@ def decoder_forward(
     ancestors: Optional[jnp.ndarray] = None,  # [B, n_ctx] global source rows
     logits_dtype=jnp.float32,
     packed: Optional[tuple] = None,  # pre-packed megakernel weights
+    k_ctx_major: bool = False,  # cache.k flipped to [L, B, H, ctx, dh]
+    # (megakernel path only; set by the greedy decode loop after prefill)
 ) -> tuple:
     """One decoder pass (prefill if T>1, incremental if T==1).
 
@@ -557,8 +560,14 @@ def decoder_forward(
     # cross-K/V DMA overlaps self-attention/MLP compute and the ~12 XLA ops
     # per layer collapse away).  Greedy/sampling incremental step only;
     # beam ancestors and int8 K/V use the dedicated kernels below.
+    # ``k_ctx_major`` marks that the CALLER flipped cache.k into V's
+    # [L, B, H, ctx, dh] layout after prefill (decode/loop.py) — required
+    # here because a per-step lane-column write into the hybrid path's
+    # transposed K copy-lowers on TPU (~312 us/step), while the ctx-major
+    # sublane write is in-place.
     if (
         T == 1
+        and k_ctx_major
         and ancestors is None
         and not quantized_self
         and not quantized_cross
@@ -568,9 +577,9 @@ def decoder_forward(
 
         use_layer, layer_interpret = _pallas_layer_mode()
         if use_layer and layer_fused_ok(
-            dims, B, cross_group, W, cross_kv.kv.shape[-1], False
+            dims, B, cross_group, dims.n_text_ctx, cross_kv.kv.shape[-1], False
         ):
-            x1, k_cols, v_cols = decoder_step_fused(
+            x1, k_cols, v_cols, k_buf, v_buf = decoder_step_fused(
                 x[:, 0, :],
                 dec["blocks"],
                 cross_kv.kv,
@@ -584,11 +593,13 @@ def decoder_forward(
                 interpret=layer_interpret,
                 packed=packed,
             )
+            # k_buf/v_buf are the cache buffers aliased through the kernel
+            # (donated), so these sublane column writes fuse in place
             new_k = lax.dynamic_update_slice(
-                cache.k, k_cols[..., None], (0, 0, 0, 0, pos_offset)
+                k_buf, k_cols[:, :, :, None, :], (0, 0, 0, pos_offset, 0)
             )
             new_v = lax.dynamic_update_slice(
-                cache.v, v_cols[:, :, :, None, :], (0, 0, 0, pos_offset, 0)
+                v_buf, v_cols[:, :, :, None, :], (0, 0, 0, pos_offset, 0)
             )
             x = x1[:, None, :]
             if logit_positions is not None:
@@ -601,6 +612,13 @@ def decoder_forward(
                 preferred_element_type=logits_dtype,
             )
             return logits, KVCache(new_k, new_v, None, None)
+    if k_ctx_major:
+        # the caller flipped K for the megakernel; reaching the scan path
+        # with that layout would silently corrupt attention
+        raise ValueError(
+            "k_ctx_major cache passed but the fused layer kernel did not "
+            "engage (check WHISPER_PALLAS_DECODE / layer_fused_ok gating)"
+        )
     # ancestor-resolved reads (beam gather-at-read) use the dedicated beam
     # kernel when any Pallas mode is on; the plain self kernel never sees
     # ancestors.  int8 self-cache rides the same kernel with whole-H

@@ -123,12 +123,17 @@ def _decoder_step_kernel(
     #   use lanes [0, n), the b1 row is full-width — a lane-concat of rows
     #   at different sublane offsets is not lowerable on Mosaic)
     kv_ref,  # [1, ac, H, 2, dh, Tk] fused cross K^T/V^T
-    kc_ref,  # [1, 1, r, H, dh, W] self-cache K (transposed layout)
+    kc_ref,  # [1, 1, r, H, W, dh] self-cache K (ctx-major: the megakernel
+    #   path keeps K in V's layout so the per-step column write is a cheap
+    #   sublane dynamic_update_slice — a lane-column DUS into the hybrid
+    #   path's transposed [*, dh, ctx] layout copy-lowers at ~312 us/step)
     vc_ref,  # [1, 1, r, H, W, dh] self-cache V
     # outputs
     xo_ref,  # [1, r, n] final activations (every l writes; last wins)
     ko_ref,  # [1, 1, r, n] this layer's new K column (flat head-major lanes)
     vo_ref,  # [1, 1, r, n] this layer's new V column
+    kp_ref,  # [1, 1, r, H, 8, dh] K-cache passthrough (aliased; see wrapper)
+    vp_ref,  # [1, 1, r, H, 8, dh] V-cache passthrough (aliased)
     # scratch
     xs_ref,  # VMEM [nA, r, n] residual stream across layers
     *,
@@ -153,12 +158,14 @@ def _decoder_step_kernel(
         xo_ref[0] = x_ref[0] + t.astype(x_ref.dtype)
         ko_ref[0, 0] = x_ref[0]
         vo_ref[0, 0] = x_ref[0]
+        kp_ref[0, 0] = kc_ref[0, 0, :, :, :8]
+        vp_ref[0, 0] = vc_ref[0, 0, :, :, :8]
         return
     dh = n // n_head
     H = n_head
     G = group
     ac = r // G
-    W = kc_ref.shape[5]
+    W = kc_ref.shape[4]
     dt = x_ref.dtype
 
     w = w_ref[0]  # [n, 14n]
@@ -202,8 +209,8 @@ def _decoder_step_kernel(
     for hh in range(H):
         sl = slice(hh * dh, (hh + 1) * dh)
         q_h = q[:, sl].astype(jnp.float32)  # [r, dh]
-        k_h = kc_ref[0, 0, :, hh].astype(jnp.float32)  # [r, dh, W]
-        qk = jnp.sum(q_h[:, :, None] * k_h, axis=1)  # [r, W]
+        k_h = kc_ref[0, 0, :, hh].astype(jnp.float32)  # [r, W, dh]
+        qk = jnp.sum(q_h[:, None, :] * k_h, axis=2)  # [r, W]
         qk = jnp.where(visible, qk, NEG)
         kn_h = k_new[:, sl].astype(jnp.float32)
         vn_h = v_new[:, sl].astype(jnp.float32)
@@ -254,6 +261,15 @@ def _decoder_step_kernel(
     xs_ref[aj] = x
     xo_ref[0] = x
 
+    # cache passthrough: the caches are ALIASED through the kernel (tiny
+    # self-copy blocks) so the caller's per-position column updates apply
+    # to buffers XLA owns exclusively — a lane-column dynamic_update_slice
+    # on a pallas OPERAND copy-lowers (~312 us/step at base.en b32: XLA
+    # cannot prove the custom call doesn't alias it); on the kernel's
+    # donated OUTPUT it fuses in place (<1 us).
+    kp_ref[0, 0] = kc_ref[0, 0, :, :, :8]
+    vp_ref[0, 0] = vc_ref[0, 0, :, :, :8]
+
 
 def _vmem_estimate(
     n: int, H: int, dh: int, r: int, ac: int, W: int, Tk: int
@@ -268,7 +284,14 @@ def _vmem_estimate(
     return blocks + temps
 
 
-_BUDGET = 64 * 1024 * 1024  # leave headroom below the 100 MB scoped cap
+def _budget() -> int:
+    """VMEM block budget (MB via WHISPER_LAYER_VMEM_MB).  Default leaves
+    headroom below the 100 MB scoped cap; raising it admits larger models
+    (medium needs ~82 MB of estimated blocks) at the risk of a Mosaic
+    scoped-vmem failure — measured actual allocation runs above the
+    double-buffered-block estimate."""
+    env = os.environ.get("WHISPER_LAYER_VMEM_MB")
+    return (int(env) if env else 64) * 1024 * 1024
 
 
 def layer_fused_ok(
@@ -284,7 +307,7 @@ def layer_fused_ok(
         return False
     A = B // G
     # smallest viable chunk must fit
-    return _vmem_estimate(n, H, dh, G, 1, W, Tk) <= _BUDGET and A >= 1
+    return _vmem_estimate(n, H, dh, G, 1, W, Tk) <= _budget() and A >= 1
 
 
 def _pick_ac(n: int, H: int, dh: int, A: int, G: int, W: int, Tk: int) -> int:
@@ -295,7 +318,7 @@ def _pick_ac(n: int, H: int, dh: int, A: int, G: int, W: int, Tk: int) -> int:
     for ac in range(1, A + 1):
         if A % ac:
             continue
-        if _vmem_estimate(n, H, dh, ac * G, ac, W, Tk) <= _BUDGET:
+        if _vmem_estimate(n, H, dh, ac * G, ac, W, Tk) <= _budget():
             best = ac
     return best
 
@@ -343,7 +366,8 @@ def decoder_step_fused(
     x: jnp.ndarray,  # [B, n] post-embedding activations for this step
     blocks: dict,  # stacked per-layer decoder params (leaves [L, ...])
     kv_cross: jnp.ndarray,  # [L, A, H, 2, dh, Tk]
-    k_cache: jnp.ndarray,  # [L, B, H, dh, n_ctx] (transposed K layout)
+    k_cache: jnp.ndarray,  # [L, B, H, n_ctx, dh] — CTX-MAJOR (caller
+    #   transposes the hybrid layout once after prefill; see decode loop)
     v_cache: jnp.ndarray,  # [L, B, H, n_ctx, dh]
     pos: jnp.ndarray,  # scalar i32 absolute position of the query token
     key_start: Optional[jnp.ndarray],  # [B] i32 or None
@@ -355,8 +379,10 @@ def decoder_step_fused(
     packed: Optional[tuple] = None,  # (big, small) from pack_block_params
 ) -> tuple:
     """Run all decoder layers for one token.  Returns (x_out [B, n],
-    k_cols [L, B, H, dh], v_cols [L, B, H, dh]) — the caller writes the
-    columns into the cache at ``pos`` (one dynamic_update_slice each)."""
+    k_cols [L, B, H, dh], v_cols [L, B, H, dh], k_buf, v_buf) — the caller
+    writes the columns into k_buf/v_buf at ``pos`` (one dynamic_update_slice
+    each).  k_buf/v_buf are the cache buffers ALIASED through the kernel
+    (donated), so those updates fuse in place."""
     B, n = x.shape
     L = k_cache.shape[0]
     H = n_head
@@ -364,6 +390,9 @@ def decoder_step_fused(
     G = group
     A = B // G
     n_ctx = v_cache.shape[3]
+    assert k_cache.shape == v_cache.shape, (
+        "megakernel expects ctx-major K (same layout as V)"
+    )
     Tk = kv_cross.shape[-1]
     scale = dh**-0.5
 
@@ -377,7 +406,7 @@ def decoder_step_fused(
     r = ac * G
     nA = A // ac
 
-    kc6 = k_cache.reshape(L, nA, r, H, dh, n_ctx)
+    kc6 = k_cache.reshape(L, nA, r, H, n_ctx, dh)
     vc6 = v_cache.reshape(L, nA, r, H, n_ctx, dh)
     if packed is not None:
         # pre-packed outside the jitted decode loop — avoids relying on
@@ -394,8 +423,8 @@ def decoder_step_fused(
             (1, ac, H, 2, dh, Tk), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
         ),  # cross kv
         pl.BlockSpec(
-            (1, 1, r, H, dh, W), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
-        ),  # k cache
+            (1, 1, r, H, W, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+        ),  # k cache (ctx-major)
         pl.BlockSpec(
             (1, 1, r, H, W, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
         ),  # v cache
@@ -408,6 +437,16 @@ def decoder_step_fused(
         pl.BlockSpec(
             (1, 1, r, n), lambda l, aj, p, s: (l, aj, 0, 0)
         ),  # v col
+        # cache passthroughs: aliased with the cache inputs (same HBM
+        # buffer); only a tiny corner block is written back per grid step,
+        # the rest of the buffer persists untouched (gmm-style partial
+        # in-place output)
+        pl.BlockSpec(
+            (1, 1, r, H, 8, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, r, H, 8, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+        ),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -428,14 +467,19 @@ def decoder_step_fused(
         _decoder_step_kernel, n_head=H, group=G, scale=scale,
         dma_only=os.environ.get("WHISPER_LAYER_DMAONLY") == "1",
     )
-    x_out, k_cols, v_cols = pl.pallas_call(
+    x_out, k_cols, v_cols, k_buf, v_buf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nA, r, n), x.dtype),
             jax.ShapeDtypeStruct((L, nA, r, n), x.dtype),
             jax.ShapeDtypeStruct((L, nA, r, n), x.dtype),
+            jax.ShapeDtypeStruct(kc6.shape, kc6.dtype),
+            jax.ShapeDtypeStruct(vc6.shape, vc6.dtype),
         ],
+        # flat input indices incl. the 2 scalar-prefetch args: kc6 is
+        # input 6, vc6 input 7 (pos, ks, x, big, small, kv come first)
+        input_output_aliases={6: 3, 7: 4},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -455,4 +499,6 @@ def decoder_step_fused(
         x_out.reshape(B, n),
         k_cols.reshape(L, B, H, dh),
         v_cols.reshape(L, B, H, dh),
+        k_buf.reshape(L, B, H, n_ctx, dh),
+        v_buf.reshape(L, B, H, n_ctx, dh),
     )
