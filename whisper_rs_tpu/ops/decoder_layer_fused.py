@@ -204,7 +204,9 @@ def _decoder_step_kernel(
     visible = (ids < pos) & (ids >= ks_rows)  # [r, W]
 
     # head-major self-attention on the VPU: all static lane slices, no
-    # vector reshapes (Mosaic cannot shape-cast [r, n] -> [r, H, dh])
+    # vector reshapes (Mosaic cannot shape-cast [r, n] -> [r, H, dh];
+    # bf16 expand-dims is an unsupported shape cast too, so the broadcast
+    # operands are upcast to f32 first)
     head_attn = []
     for hh in range(H):
         sl = slice(hh * dh, (hh + 1) * dh)
