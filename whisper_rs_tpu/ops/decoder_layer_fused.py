@@ -2,40 +2,47 @@
 
 The incremental decode step (T==1) spends its time in two places (device
 trace, tools/profile_trace.py, base.en b32 full-W): the cross-attention
-K/V DMA (~0.82 ms/step through the dedicated cross kernel) and ~0.65 ms of
-XLA ops — self-attention cache reads at ~2.2x their bandwidth roofline plus
-~70 small per-step dispatches (LNs, projections, MLP, residuals, cache
-updates).  The two streams run strictly serialized: XLA cannot overlap its
-fusions with a pallas_call.
+K/V DMA and ~0.65 ms of XLA ops — self-attention cache reads at ~2.2x
+their bandwidth roofline plus ~70 small per-step dispatches (LNs,
+projections, MLP, residuals, cache updates).  The two streams run
+strictly serialized: XLA cannot overlap its fusions with a pallas_call.
 
 This kernel runs the ENTIRE layer stack in one pallas_call per decode
-step with grid (layer, audio-chunk):
+step with grid (layer, phase, audio-chunk):
 
-  * per-layer weights stream as ONE packed [L, n, 14n] array (plus one
-    [L, 16, n] array of biases/LN params) whose BlockSpec index depends
-    only on the layer coordinate — fetched once per layer, prefetched
-    during the previous layer's compute.  Packing matters: with the same
-    bytes split across 20 arrays the pipeline runs at 442 GB/s; packed, at
-    ~600 GB/s (measured, v5e — same many-small-streams penalty the fused
-    CrossKV fixed for the cross kernel);
+  * per-layer weights stream as ONE packed [L, 2, n, 8n] array — plane 0
+    holds the six [n, n] attention/cross projections, plane 1 the MLP
+    (w1 | w2^T) — whose BlockSpec index depends only on (layer, phase):
+    each plane is fetched once per layer and prefetched during the
+    previous phase's compute.  Packing matters twice: with the same bytes
+    split across 20 arrays the pipeline runs at 442 GB/s vs ~650 packed
+    (one wide stream beats many interleaved ones, v5e), and splitting the
+    pack into two phase planes halves its double-buffered VMEM — which is
+    what lets medium-class models (n=1024: 29 MB of weights per layer)
+    fit the 128 MB VMEM at all;
+  * the phase dimension runs the layer in two pieces — phase 0:
+    self-attention + cross-attention (plane 0), phase 1: MLP (plane 1) —
+    with the cross-K/V and cache block indices PINNED to their last
+    phase-0 block during phase 1, so those streams are fetched exactly
+    once per layer;
   * the fused cross-K/V ([L, A, H, 2, dh, Tk], see models.whisper.CrossKV)
-    and the self-cache tiles stream per grid step, double-buffered, so the
-    dominant DMA overlaps compute (DMA-only ablation == full-compute step
-    time: the math hides entirely);
+    and the self-cache tiles stream per grid step, double-buffered, so
+    the dominant DMA overlaps compute (DMA-only ablation == full-compute
+    step time: the math hides entirely);
   * the residual stream x lives in a VMEM scratch ([nA, rows, n]) carried
-    across grid steps — layer l+1 chunk aj reads what layer l chunk aj
-    wrote (the TPU grid executes sequentially; dimension_semantics
-    "arbitrary");
+    across grid steps — the TPU grid executes sequentially
+    (dimension_semantics "arbitrary");
   * the current token's K/V are computed in-kernel and returned as
     [L, B, n] columns; the caller scatter-writes them into the cache at
-    the query position with ONE dynamic_update_slice per buffer (the scan
-    path needs one per layer), so the cache is read-only here and the
-    kernel writes no [*, W]-sized output.
-
-The packed weight arrays are built with jnp.concatenate INSIDE the jitted
-step; XLA's while-loop invariant code motion hoists the (loop-invariant)
-packing out of the decode loop, so it costs one copy per window, not per
-step (verified: step time matches the DMA roofline of the packed layout).
+    the query position with ONE dynamic_update_slice per buffer.  The
+    megakernel path keeps K in V's CTX-MAJOR [L, B, H, ctx, dh] layout
+    (the greedy loop flips it once after prefill): a lane-column update
+    into the hybrid path's transposed [*, dh, ctx] K copy-lowers on TPU
+    (~312 us/step at base.en b32 — tile-granular lane writes only fuse in
+    place with their producer, and a pallas_call is opaque), while the
+    ctx-major sublane write is in place (~27 us).  The caches are aliased
+    through the kernel as passthrough outputs (gmm-style tiny partial
+    writes) so those updates apply to buffers XLA owns exclusively.
 
 Semantics match the XLA block math of models.whisper.decoder_forward
 (reference seam: model.rs:186-206 + the residual block at model.rs:234-342)
@@ -63,7 +70,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9  # finite mask value (NaN-free), matches ops/decode_attention.py
 
-# rows of the packed small-params array [L, 16, n]
+# rows of the packed small-params array [L, 16, 4n]
 _ROW_LN1W, _ROW_LN1B, _ROW_BQ, _ROW_BV, _ROW_BO = 0, 1, 2, 3, 4
 _ROW_LN2W, _ROW_LN2B, _ROW_BCQ, _ROW_BCO = 5, 6, 7, 8
 _ROW_LN3W, _ROW_LN3B, _ROW_B2, _ROW_B1 = 9, 10, 11, 12  # b1 row is 4n wide
@@ -116,23 +123,22 @@ def _decoder_step_kernel(
     # scalar prefetch
     pos_ref,  # [1] absolute query position
     ks_ref,  # [B] first valid cache slot per row
-    # tensor blocks (per grid step (l, aj))
-    x_ref,  # [1, r, n] current token activations (read at l==0 only)
-    w_ref,  # [1, n, 14n]: wq|wk|wv|wo|wcq|wco | w1 (4n) | w2^T (4n)
+    # tensor blocks (per grid step (l, ph, aj))
+    x_ref,  # [1, r, n] current token activations (read at l==0, ph==0)
+    w_ref,  # [1, 1, n, 8n]: ph0 plane = wq|wk|wv|wo|wcq|wco|pad(2n);
+    #   ph1 plane = w1 (4n) | w2^T (4n)
     sp_ref,  # [1, 16, 4n]: biases + LN params (row map above; n-wide rows
     #   use lanes [0, n), the b1 row is full-width — a lane-concat of rows
     #   at different sublane offsets is not lowerable on Mosaic)
-    kv_ref,  # [1, ac, H, 2, dh, Tk] fused cross K^T/V^T
-    kc_ref,  # [1, 1, r, H, W, dh] self-cache K (ctx-major: the megakernel
-    #   path keeps K in V's layout so the per-step column write is a cheap
-    #   sublane dynamic_update_slice — a lane-column DUS into the hybrid
-    #   path's transposed [*, dh, ctx] layout copy-lowers at ~312 us/step)
-    vc_ref,  # [1, 1, r, H, W, dh] self-cache V
+    kv_ref,  # [1, ac, H, 2, dh, Tk] fused cross K^T/V^T (pinned at ph1)
+    kc_ref,  # [1, 1, r, H, W, dh] self-cache K, CTX-MAJOR (pinned at ph1)
+    vc_ref,  # [1, 1, r, H, W, dh] self-cache V (pinned at ph1)
     # outputs
-    xo_ref,  # [1, r, n] final activations (every l writes; last wins)
-    ko_ref,  # [1, 1, r, n] this layer's new K column (flat head-major lanes)
+    xo_ref,  # [1, r, n] final activations (every grid step writes;
+    #   layer L-1 phase 1 wins)
+    ko_ref,  # [1, 1, r, n] this layer's new K column (flat head-major)
     vo_ref,  # [1, 1, r, n] this layer's new V column
-    kp_ref,  # [1, 1, r, H, 8, dh] K-cache passthrough (aliased; see wrapper)
+    kp_ref,  # [1, 1, r, H, 8, dh] K-cache passthrough (aliased)
     vp_ref,  # [1, 1, r, H, 8, dh] V-cache passthrough (aliased)
     # scratch
     xs_ref,  # VMEM [nA, r, n] residual stream across layers
@@ -143,7 +149,8 @@ def _decoder_step_kernel(
     dma_only: bool = False,
 ):
     l = pl.program_id(0)
-    aj = pl.program_id(1)
+    ph = pl.program_id(1)
+    aj = pl.program_id(2)
     _, r, n = x_ref.shape
     if dma_only:
         # perf-debug mode (WHISPER_LAYER_DMAONLY=1): touch every stream
@@ -152,7 +159,7 @@ def _decoder_step_kernel(
             jnp.sum(kv_ref[0, 0, 0, 0, :8].astype(jnp.float32))
             + jnp.sum(kc_ref[0, 0, 0, 0, :8].astype(jnp.float32))
             + jnp.sum(vc_ref[0, 0, 0, 0, :8].astype(jnp.float32))
-            + jnp.sum(w_ref[0, :8].astype(jnp.float32))
+            + jnp.sum(w_ref[0, 0, :8].astype(jnp.float32))
             + jnp.sum(sp_ref[0, :8].astype(jnp.float32))
         )
         xo_ref[0] = x_ref[0] + t.astype(x_ref.dtype)
@@ -168,8 +175,8 @@ def _decoder_step_kernel(
     W = kc_ref.shape[4]
     dt = x_ref.dtype
 
-    w = w_ref[0]  # [n, 14n]
-    sp = sp_ref[0]  # [16, n]
+    w = w_ref[0, 0]  # [n, 8n] (current phase's plane)
+    sp = sp_ref[0]  # [16, 4n]
 
     def wcol(i: int, width: int = 1):
         return w[:, i * n:(i + width) * n]
@@ -177,100 +184,102 @@ def _decoder_step_kernel(
     def row(i: int):
         return sp[i:i + 1, :n]  # [1, n]
 
-    b1 = sp[_ROW_B1:_ROW_B1 + 1]  # [1, 4n] (full-width row)
-
-    @pl.when(l == 0)
+    @pl.when((l == 0) & (ph == 0))
     def _():
         xs_ref[aj] = x_ref[0]
 
-    x = xs_ref[aj]  # [r, n] bf16
+    @pl.when(ph == 0)
+    def _attention_phase():
+        x = xs_ref[aj]  # [r, n]
 
-    # ---- self-attention over the cache window + current token ------------
-    h = _ln(x.astype(jnp.float32), row(_ROW_LN1W), row(_ROW_LN1B), dt)
-    q = (_dot(h, wcol(0)) + row(_ROW_BQ)) * scale  # [r, n]
-    k_new = _dot(h, wcol(1))
-    v_new = _dot(h, wcol(2)) + row(_ROW_BV)
-    ko_ref[0, 0] = k_new
-    vo_ref[0, 0] = v_new
+        # -- self-attention over the cache window + current token ----------
+        h = _ln(x.astype(jnp.float32), row(_ROW_LN1W), row(_ROW_LN1B), dt)
+        q = (_dot(h, wcol(0)) + row(_ROW_BQ)) * scale  # [r, n]
+        k_new = _dot(h, wcol(1))
+        v_new = _dot(h, wcol(2)) + row(_ROW_BV)
+        ko_ref[0, 0] = k_new
+        vo_ref[0, 0] = v_new
 
-    # per-row visibility over the cache window: slots [key_start, pos)
-    # (the current token's K/V are in-register, handled as an extra column)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (r, W), 1)
-    pos = pos_ref[0]
-    ks_rows = jnp.concatenate(
-        [jnp.full((1, W), ks_ref[aj * r + r0], jnp.int32) for r0 in range(r)],
-        axis=0,
-    ) if r > 1 else jnp.full((1, W), ks_ref[aj * r], jnp.int32)
-    visible = (ids < pos) & (ids >= ks_rows)  # [r, W]
+        # per-row visibility over the cache window: slots [key_start, pos)
+        # (the current token's K/V are in-register, an extra column)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (r, W), 1)
+        pos = pos_ref[0]
+        ks_rows = jnp.concatenate(
+            [
+                jnp.full((1, W), ks_ref[aj * r + r0], jnp.int32)
+                for r0 in range(r)
+            ],
+            axis=0,
+        ) if r > 1 else jnp.full((1, W), ks_ref[aj * r], jnp.int32)
+        visible = (ids < pos) & (ids >= ks_rows)  # [r, W]
 
-    # head-major self-attention on the VPU: all static lane slices, no
-    # vector reshapes (Mosaic cannot shape-cast [r, n] -> [r, H, dh];
-    # bf16 expand-dims is an unsupported shape cast too, so the broadcast
-    # operands are upcast to f32 first)
-    head_attn = []
-    for hh in range(H):
-        sl = slice(hh * dh, (hh + 1) * dh)
-        q_h = q[:, sl].astype(jnp.float32)  # [r, dh]
-        k_h = kc_ref[0, 0, :, hh].astype(jnp.float32)  # [r, W, dh]
-        qk = jnp.sum(q_h[:, None, :] * k_h, axis=2)  # [r, W]
-        qk = jnp.where(visible, qk, NEG)
-        kn_h = k_new[:, sl].astype(jnp.float32)
-        vn_h = v_new[:, sl].astype(jnp.float32)
-        qk_cur = jnp.sum(q_h * kn_h, axis=-1, keepdims=True)  # [r, 1]
-        m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True), qk_cur)
-        e = jnp.exp(qk - m)  # [r, W]
-        e_cur = jnp.exp(qk_cur - m)  # [r, 1]
-        denom = jnp.sum(e, axis=-1, keepdims=True) + e_cur
-        v_h = vc_ref[0, 0, :, hh].astype(jnp.float32)  # [r, W, dh]
-        out_h = jnp.sum(e[:, :, None] * v_h, axis=1) + e_cur * vn_h
-        head_attn.append((out_h / denom).astype(dt))  # [r, dh]
-    attn = head_attn[0] if H == 1 else jnp.concatenate(head_attn, axis=1)
-    x = x + (_dot(attn, wcol(3)) + row(_ROW_BO))
-
-    # ---- cross-attention against the fused per-audio K^T/V^T -------------
-    h = _ln(x.astype(jnp.float32), row(_ROW_LN2W), row(_ROW_LN2B), dt)
-    qx = (_dot(h, wcol(4)) + row(_ROW_BCQ)) * scale  # [r, n]
-    audio_outs = []
-    for a in range(ac):
-        head_outs = []
+        # head-major self-attention on the VPU: all static lane slices, no
+        # vector reshapes (Mosaic cannot shape-cast [r, n] -> [r, H, dh];
+        # bf16 expand-dims is an unsupported shape cast too, so broadcast
+        # operands are upcast to f32 first)
+        head_attn = []
         for hh in range(H):
-            q_gh = qx[a * G:(a + 1) * G, hh * dh:(hh + 1) * dh]  # [G, dh]
-            k_t = kv_ref[0, a, hh, 0]  # [dh, Tk]
-            qk = jax.lax.dot_general(
-                q_gh, k_t, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, Tk]
-            m = jnp.max(qk, axis=-1, keepdims=True)
-            e = jnp.exp(qk - m)
-            wsm = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
-            v_t = kv_ref[0, a, hh, 1]  # [dh, Tk]
-            ov = jax.lax.dot_general(
-                wsm, v_t, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, dh]
-            head_outs.append(ov.astype(dt))
-        audio_outs.append(
-            head_outs[0] if H == 1 else jnp.concatenate(head_outs, axis=1)
-        )  # [G, n]
-    cross = audio_outs[0] if ac == 1 else jnp.concatenate(audio_outs, axis=0)
-    x = x + (_dot(cross, wcol(5)) + row(_ROW_BCO))
+            sl = slice(hh * dh, (hh + 1) * dh)
+            q_h = q[:, sl].astype(jnp.float32)  # [r, dh]
+            k_h = kc_ref[0, 0, :, hh].astype(jnp.float32)  # [r, W, dh]
+            qk = jnp.sum(q_h[:, None, :] * k_h, axis=2)  # [r, W]
+            qk = jnp.where(visible, qk, NEG)
+            kn_h = k_new[:, sl].astype(jnp.float32)
+            vn_h = v_new[:, sl].astype(jnp.float32)
+            qk_cur = jnp.sum(q_h * kn_h, axis=-1, keepdims=True)  # [r, 1]
+            m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True), qk_cur)
+            e = jnp.exp(qk - m)  # [r, W]
+            e_cur = jnp.exp(qk_cur - m)  # [r, 1]
+            denom = jnp.sum(e, axis=-1, keepdims=True) + e_cur
+            v_h = vc_ref[0, 0, :, hh].astype(jnp.float32)  # [r, W, dh]
+            out_h = jnp.sum(e[:, :, None] * v_h, axis=1) + e_cur * vn_h
+            head_attn.append((out_h / denom).astype(dt))  # [r, dh]
+        attn = head_attn[0] if H == 1 else jnp.concatenate(head_attn, axis=1)
+        x = x + (_dot(attn, wcol(3)) + row(_ROW_BO))
 
-    # ---- MLP --------------------------------------------------------------
-    h = _ln(x.astype(jnp.float32), row(_ROW_LN3W), row(_ROW_LN3B), dt)
-    hid = _gelu(_dot(h, wcol(6, 4)) + b1)  # [r, 4n]
-    x = x + (_dot_t(hid, wcol(10, 4)) + row(_ROW_B2))
+        # -- cross-attention against the fused per-audio K^T/V^T -----------
+        h = _ln(x.astype(jnp.float32), row(_ROW_LN2W), row(_ROW_LN2B), dt)
+        qx = (_dot(h, wcol(4)) + row(_ROW_BCQ)) * scale  # [r, n]
+        audio_outs = []
+        for a in range(ac):
+            head_outs = []
+            for hh in range(H):
+                q_gh = qx[a * G:(a + 1) * G, hh * dh:(hh + 1) * dh]  # [G, dh]
+                k_t = kv_ref[0, a, hh, 0]  # [dh, Tk]
+                qk = jax.lax.dot_general(
+                    q_gh, k_t, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, Tk]
+                m = jnp.max(qk, axis=-1, keepdims=True)
+                e = jnp.exp(qk - m)
+                wsm = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+                v_t = kv_ref[0, a, hh, 1]  # [dh, Tk]
+                ov = jax.lax.dot_general(
+                    wsm, v_t, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [G, dh]
+                head_outs.append(ov.astype(dt))
+            audio_outs.append(
+                head_outs[0] if H == 1 else jnp.concatenate(head_outs, axis=1)
+            )  # [G, n]
+        cross = audio_outs[0] if ac == 1 else jnp.concatenate(audio_outs, axis=0)
+        x = x + (_dot(cross, wcol(5)) + row(_ROW_BCO))
+        xs_ref[aj] = x
 
-    xs_ref[aj] = x
-    xo_ref[0] = x
+        # cache passthrough (aliased buffers; see module docstring)
+        kp_ref[0, 0] = kc_ref[0, 0, :, :, :8]
+        vp_ref[0, 0] = vc_ref[0, 0, :, :, :8]
 
-    # cache passthrough: the caches are ALIASED through the kernel (tiny
-    # self-copy blocks) so the caller's per-position column updates apply
-    # to buffers XLA owns exclusively — a lane-column dynamic_update_slice
-    # on a pallas OPERAND copy-lowers (~312 us/step at base.en b32: XLA
-    # cannot prove the custom call doesn't alias it); on the kernel's
-    # donated OUTPUT it fuses in place (<1 us).
-    kp_ref[0, 0] = kc_ref[0, 0, :, :, :8]
-    vp_ref[0, 0] = vc_ref[0, 0, :, :, :8]
+    @pl.when(ph == 1)
+    def _mlp_phase():
+        x = xs_ref[aj]
+        b1 = sp[_ROW_B1:_ROW_B1 + 1]  # [1, 4n] (full-width row)
+        h = _ln(x.astype(jnp.float32), row(_ROW_LN3W), row(_ROW_LN3B), dt)
+        hid = _gelu(_dot(h, w[:, : 4 * n]) + b1)  # [r, 4n]
+        x = x + (_dot_t(hid, w[:, 4 * n:]) + row(_ROW_B2))
+        xs_ref[aj] = x
+
+    xo_ref[0] = xs_ref[aj]
 
 
 def _vmem_estimate(
@@ -278,7 +287,7 @@ def _vmem_estimate(
 ) -> int:
     """Double-buffered block bytes + rows-unrolled f32 attention temps."""
     bpe = 2  # bf16
-    weights = (14 * n * n + 16 * n) * bpe
+    weights = (8 * n * n + 16 * 4 * n) * bpe  # one [n, 8n] plane + small
     cross = ac * H * 2 * dh * Tk * bpe
     cache = 2 * r * H * dh * W * bpe
     blocks = 2 * (weights + cross + cache)
@@ -288,10 +297,9 @@ def _vmem_estimate(
 
 def _budget() -> int:
     """VMEM block budget (MB via WHISPER_LAYER_VMEM_MB).  Default leaves
-    headroom below the 100 MB scoped cap; raising it admits larger models
-    (medium needs ~82 MB of estimated blocks) at the risk of a Mosaic
-    scoped-vmem failure — measured actual allocation runs above the
-    double-buffered-block estimate."""
+    headroom below the 128 MB physical VMEM — measured actual allocation
+    runs well above the double-buffered-block estimate (~1.6x at base.en:
+    82 MB estimated, 131 MB actual before the phase split)."""
     env = os.environ.get("WHISPER_LAYER_VMEM_MB")
     return (int(env) if env else 64) * 1024 * 1024
 
@@ -326,22 +334,30 @@ def _pick_ac(n: int, H: int, dh: int, A: int, G: int, W: int, Tk: int) -> int:
 
 
 def pack_block_params(blocks: dict) -> tuple:
-    """(big [L, n, 14n], small [L, 16, n]) packed per-layer decoder weights.
+    """(big [L, 2, n, 8n], small [L, 16, 4n]) packed per-layer weights.
 
-    One wide array per stream class: the Pallas pipeline runs ~1.4x faster
+    One wide array per stream class: the Pallas pipeline runs ~1.5x faster
     when the per-layer weight fetch is one DMA instead of twenty (v5e,
-    measured).  Called inside jit — XLA's while-loop LICM hoists it out of
-    the decode loop."""
+    measured).  Plane 0 = the six attention/cross [n, n] projections
+    (zero-padded to 8n); plane 1 = w1 | w2^T.  Splitting into two
+    phase-indexed planes halves the pack's double-buffered VMEM, which is
+    what admits n=1024 models.  Called inside jit from the decode loop,
+    OUTSIDE the while loop (in-loop packing costs a per-step copy)."""
     at, ct, mlp = blocks["attn"], blocks["cross_attn"], blocks["mlp"]
-    big = jnp.concatenate(
+    wq = at["query"]["w"]
+    L, _, n = wq.shape
+    plane0 = jnp.concatenate(
         [
-            at["query"]["w"], at["key"]["w"], at["value"]["w"], at["out"]["w"],
+            wq, at["key"]["w"], at["value"]["w"], at["out"]["w"],
             ct["query"]["w"], ct["out"]["w"],
-            mlp["fc1"]["w"], mlp["fc2"]["w"].swapaxes(1, 2),
+            jnp.zeros((L, n, 2 * n), wq.dtype),
         ],
         axis=2,
     )
-    L, _, n = at["query"]["w"].shape
+    plane1 = jnp.concatenate(
+        [mlp["fc1"]["w"], mlp["fc2"]["w"].swapaxes(1, 2)], axis=2
+    )
+    big = jnp.stack([plane0, plane1], axis=1)  # [L, 2, n, 8n]
     rows = [
         blocks["attn_ln"]["scale"], blocks["attn_ln"]["bias"],
         at["query"]["b"], at["value"]["b"], at["out"]["b"],
@@ -417,42 +433,59 @@ def decoder_step_fused(
     else:
         big, small = pack_block_params(blocks)
 
+    def pin(aj, ph):
+        # during the MLP phase the cross/cache streams keep their LAST
+        # phase-0 block resident (index unchanged => no refetch): each is
+        # fetched exactly once per layer
+        return (1 - ph) * aj + ph * (nA - 1)
+
     in_specs = [
-        pl.BlockSpec((1, r, n), lambda l, aj, p, s: (aj, 0, 0)),  # x
-        pl.BlockSpec((1, n, 14 * n), lambda l, aj, p, s: (l, 0, 0)),  # big w
-        pl.BlockSpec((1, 16, 4 * n), lambda l, aj, p, s: (l, 0, 0)),  # small
         pl.BlockSpec(
-            (1, ac, H, 2, dh, Tk), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+            (1, r, n), lambda l, ph, aj, p, s: (pin(aj, ph), 0, 0)
+        ),  # x
+        pl.BlockSpec(
+            (1, 1, n, 8 * n), lambda l, ph, aj, p, s: (l, ph, 0, 0)
+        ),  # packed weights (per-phase plane)
+        pl.BlockSpec((1, 16, 4 * n), lambda l, ph, aj, p, s: (l, 0, 0)),
+        pl.BlockSpec(
+            (1, ac, H, 2, dh, Tk),
+            lambda l, ph, aj, p, s: (l, pin(aj, ph), 0, 0, 0, 0),
         ),  # cross kv
         pl.BlockSpec(
-            (1, 1, r, H, W, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+            (1, 1, r, H, W, dh),
+            lambda l, ph, aj, p, s: (l, pin(aj, ph), 0, 0, 0, 0),
         ),  # k cache (ctx-major)
         pl.BlockSpec(
-            (1, 1, r, H, W, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+            (1, 1, r, H, W, dh),
+            lambda l, ph, aj, p, s: (l, pin(aj, ph), 0, 0, 0, 0),
         ),  # v cache
     ]
     out_specs = [
-        pl.BlockSpec((1, r, n), lambda l, aj, p, s: (aj, 0, 0)),  # x_out
         pl.BlockSpec(
-            (1, 1, r, n), lambda l, aj, p, s: (l, aj, 0, 0)
+            (1, r, n), lambda l, ph, aj, p, s: (aj, 0, 0)
+        ),  # x_out (the final value lands at layer L-1, phase 1)
+        pl.BlockSpec(
+            (1, 1, r, n), lambda l, ph, aj, p, s: (l, pin(aj, ph), 0, 0)
         ),  # k col
         pl.BlockSpec(
-            (1, 1, r, n), lambda l, aj, p, s: (l, aj, 0, 0)
+            (1, 1, r, n), lambda l, ph, aj, p, s: (l, pin(aj, ph), 0, 0)
         ),  # v col
         # cache passthroughs: aliased with the cache inputs (same HBM
         # buffer); only a tiny corner block is written back per grid step,
         # the rest of the buffer persists untouched (gmm-style partial
         # in-place output)
         pl.BlockSpec(
-            (1, 1, r, H, 8, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+            (1, 1, r, H, 8, dh),
+            lambda l, ph, aj, p, s: (l, pin(aj, ph), 0, 0, 0, 0),
         ),
         pl.BlockSpec(
-            (1, 1, r, H, 8, dh), lambda l, aj, p, s: (l, aj, 0, 0, 0, 0)
+            (1, 1, r, H, 8, dh),
+            lambda l, ph, aj, p, s: (l, pin(aj, ph), 0, 0, 0, 0),
         ),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(L, nA),
+        grid=(L, 2, nA),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((nA, r, n), x.dtype)],
@@ -484,7 +517,7 @@ def decoder_step_fused(
         input_output_aliases={6: 3, 7: 4},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem_limit,
         ),
     )(
