@@ -493,9 +493,12 @@ def decoder_step_fused(
     vmem_need = _vmem_estimate(n, H, dh, r, ac, W, Tk)
     vmem_limit = None
     if vmem_need > 9 * 1024 * 1024:
+        # the scoped cap can approach the 128 MB physical VMEM; medium.en
+        # actually allocates ~107 MB (estimate x1.9 — Mosaic keeps every
+        # unrolled head iteration's f32 temps live)
         vmem_limit = min(
-            -(-(2 * vmem_need) // (1024 * 1024)) * 1024 * 1024,
-            100 * 1024 * 1024,
+            -(-(23 * vmem_need // 10) // (1024 * 1024)) * 1024 * 1024,
+            118 * 1024 * 1024,
         )
 
     kernel = functools.partial(
