@@ -10,7 +10,10 @@ wall-clock second; 1.0 = real time).  The reference publishes no benchmark
 numbers at all (BASELINE.md), so real-time rate is the meaningful anchor.
 
 Env knobs:
-  BENCH_MODEL  (default base.en)   BENCH_BATCH (default 32)
+  BENCH_MODEL  (default base.en)   BENCH_BATCH (default 128: throughput
+               saturates by b96-b128 on v5e — b32 2771, b96 3349, b128
+               3385 audio-s/s — as the encoder + per-step overheads
+               amortize across rows; all fits comfortably in 16 GB HBM)
   BENCH_MODE   greedy|beam (default greedy)   BENCH_BEAM (default 5)
   BENCH_STEPS  decode steps (default: full sample_len 224)
   BENCH_ITERS  timed iterations (default 3)
@@ -28,7 +31,7 @@ import numpy as np
 
 def main():
     model_name = os.environ.get("BENCH_MODEL", "base.en")
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     from whisper_rs_tpu.config import BeamSearchMode, GreedyMode, dims_for
