@@ -218,3 +218,51 @@ def test_cli_language_auto_requires_multilingual(checkpoint, tmp_path, capsys):
                "--greedy", "--sample-len", "4", "--dtype", "float32"])
     assert rc == 2
     assert "multilingual" in capsys.readouterr().err
+
+
+def test_cli_batch_mode(checkpoint, tmp_path, capsys):
+    """--batch routes multi-file input through the data-parallel batch
+    driver: one JSON line per file, bad files isolated (exit 1 but the
+    good file still transcribes), and --language auto is rejected."""
+    from whisper_rs_tpu.audio.io import write_wav
+    from whisper_rs_tpu.cli import main
+
+    rng = np.random.default_rng(1)
+    wavs = []
+    for i in range(2):
+        w = tmp_path / f"b{i}.wav"
+        write_wav(w, (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32))
+        wavs.append(str(w))
+
+    rc = main(
+        wavs
+        + ["--checkpoint", checkpoint, "--greedy", "--sample-len", "6",
+           "--dtype", "float32", "--batch", "2", "--json"]
+    )
+    assert rc == 0
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert [p["file"] for p in lines] == wavs
+    assert all("text" in p and isinstance(p["segments"], list) for p in lines)
+
+    # per-file error isolation: missing file -> rc 1, good file still emitted
+    rc = main(
+        [wavs[0], "/nonexistent.wav", "--checkpoint", checkpoint, "--greedy",
+         "--sample-len", "4", "--dtype", "float32", "--batch", "2", "--json"]
+    )
+    assert rc == 1
+    out_lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert [p["file"] for p in out_lines] == [wavs[0]]
+
+    # batch mode shares one decode config: language auto is rejected
+    rc = main(
+        wavs
+        + ["--checkpoint", checkpoint, "--greedy", "--sample-len", "4",
+           "--dtype", "float32", "--batch", "2", "--language", "auto"]
+    )
+    assert rc == 2

@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="weight-only quantization (halves weight HBM traffic)",
     )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel chips")
+    p.add_argument(
+        "--batch", type=int, default=1,
+        help="transcribe files through the data-parallel batch driver, N "
+        "windows per device step (throughput mode for many files; "
+        "requires an explicit --language)",
+    )
     p.add_argument("--json", action="store_true", help="emit JSON output")
     p.add_argument(
         "--format", default=None, choices=["srt", "vtt", "txt"],
@@ -110,6 +116,74 @@ def main(argv=None) -> int:
         condition_on_prev_text=not args.no_condition_on_prev_text,
     )
 
+    def emit(path, out, detected):
+        if args.format:
+            from .utils.formats import to_srt, to_text, to_vtt
+
+            fmt = {"srt": to_srt, "vtt": to_vtt, "txt": to_text}[args.format]
+            print(fmt(out.segments))
+        elif args.json:
+            print(
+                json.dumps(
+                    {
+                        "file": path,
+                        "language": detected or args.language,
+                        "text": out.text,
+                        "segments": [
+                            {
+                                "start": s.start_time,
+                                "end": s.end_time,
+                                "text": s.text,
+                            }
+                            for s in out.segments
+                        ],
+                    }
+                )
+            )
+        else:
+            print(f"== {path}")
+            for s in out.segments:
+                print(f"[{s.start_time:7.2f} -> {s.end_time:7.2f}] {s.text}")
+
+    if args.batch > 1:
+        # throughput mode: N windows stream through the decoder in
+        # lockstep (parallel/batch.py), utterances retiring independently
+        # with per-utterance error isolation
+        if detect:
+            print(
+                "--batch requires an explicit --language (one decode "
+                "config is shared by the whole batch)",
+                file=sys.stderr,
+            )
+            return 2
+        from .parallel.batch import BatchTranscriber
+
+        rc = 0
+        paths, audios = [], []
+        for path in args.audio:
+            try:
+                audios.append(load_audio(path))
+                paths.append(path)
+            except Exception as e:
+                print(f"{path}: failed to load: {e}", file=sys.stderr)
+                rc = 1
+        if not paths:
+            return rc
+        bt = BatchTranscriber(
+            params, dims, tokenizer, options,
+            batch_size=args.batch, compute_dtype=dtype,
+        )
+        secs = sum(len(a) for a in audios) / 16000.0
+        with step_timer(f"batch transcribe {len(paths)} files", audio_seconds=secs):
+            outs = bt.run(audios, raise_on_error=False)
+        for path, out in zip(paths, outs):
+            if out is None:
+                print(f"{path}: transcription failed", file=sys.stderr)
+                rc = 1
+            else:
+                emit(path, out, None)
+        return rc
+
     task = TranscribeTask(params, dims, tokenizer, options, compute_dtype=dtype)
 
     rc = 0
@@ -143,33 +217,7 @@ def main(argv=None) -> int:
         secs = len(audio) / 16000.0
         with step_timer(f"transcribe {path}", audio_seconds=secs):
             out = task.run(audio)
-        if args.format:
-            from .utils.formats import to_srt, to_text, to_vtt
-
-            fmt = {"srt": to_srt, "vtt": to_vtt, "txt": to_text}[args.format]
-            print(fmt(out.segments))
-        elif args.json:
-            print(
-                json.dumps(
-                    {
-                        "file": path,
-                        "language": detected or args.language,
-                        "text": out.text,
-                        "segments": [
-                            {
-                                "start": s.start_time,
-                                "end": s.end_time,
-                                "text": s.text,
-                            }
-                            for s in out.segments
-                        ],
-                    }
-                )
-            )
-        else:
-            print(f"== {path}")
-            for s in out.segments:
-                print(f"[{s.start_time:7.2f} -> {s.end_time:7.2f}] {s.text}")
+        emit(path, out, detected)
     return rc
 
 
