@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--length-penalty", type=float, default=None)
     p.add_argument("--max-initial-timestamp", type=float, default=1.0)
     p.add_argument("--no-timestamps", action="store_true")
+    p.add_argument(
+        "--word-timestamps", action="store_true",
+        help="per-word timings via cross-attention DTW alignment (one "
+        "extra decoder pass per 30s window)",
+    )
     p.add_argument("--no-condition-on-prev-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
@@ -114,6 +119,7 @@ def main(argv=None) -> int:
         ),
         initial_prompt_text=args.initial_prompt,
         condition_on_prev_text=not args.no_condition_on_prev_text,
+        word_timestamps=args.word_timestamps,
     )
 
     def emit(path, out, detected):
@@ -134,6 +140,20 @@ def main(argv=None) -> int:
                                 "start": s.start_time,
                                 "end": s.end_time,
                                 "text": s.text,
+                                **(
+                                    {
+                                        "words": [
+                                            {
+                                                "word": w.word,
+                                                "start": w.start,
+                                                "end": w.end,
+                                            }
+                                            for w in s.words
+                                        ]
+                                    }
+                                    if s.words is not None
+                                    else {}
+                                ),
                             }
                             for s in out.segments
                         ],
@@ -153,6 +173,12 @@ def main(argv=None) -> int:
             print(
                 "--batch requires an explicit --language (one decode "
                 "config is shared by the whole batch)",
+                file=sys.stderr,
+            )
+            return 2
+        if args.word_timestamps:
+            print(
+                "--word-timestamps is not supported in --batch mode yet",
                 file=sys.stderr,
             )
             return 2

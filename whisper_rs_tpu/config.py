@@ -153,3 +153,10 @@ class TranscribeOptions:
     # Default None = reference behavior (single decode per window).
     temperatures: Optional[Tuple[float, ...]] = None
     compression_ratio_threshold: float = 2.4
+    # Word-level timestamps via cross-attention DTW alignment
+    # (decode/align.py; absent from the reference): one extra
+    # teacher-forced decoder pass per window.  ``alignment_heads`` is an
+    # optional model-specific list of (layer, head) pairs; default = every
+    # head of the upper half of the decoder layers.
+    word_timestamps: bool = False
+    alignment_heads: Optional[Tuple[Tuple[int, int], ...]] = None

@@ -39,7 +39,11 @@ QUANTUM = HOP_LENGTH / SAMPLE_RATE  # 0.01 s
 
 @dataclasses.dataclass
 class TranscribeSegment:
-    """reference TranscribeOutputSegment (transcribe.rs:59-67)."""
+    """reference TranscribeOutputSegment (transcribe.rs:59-67).
+
+    ``words`` (beyond the reference): per-word timings from
+    cross-attention DTW alignment when
+    ``TranscribeOptions.word_timestamps`` is on (decode/align.py)."""
 
     seek: int
     start_time: float
@@ -47,6 +51,7 @@ class TranscribeSegment:
     start_token: int
     end_token: int
     text: str
+    words: Optional[list] = None  # List[decode.align.WordTiming]
 
 
 @dataclasses.dataclass
@@ -93,6 +98,32 @@ def should_skip_no_speech(
         and no_speech_prob > opts.no_speech_threshold
         and avg_logprob < opts.logprob_threshold
     )
+
+
+def assign_words(segments: List["TranscribeSegment"], words) -> None:
+    """Attach aligned words to the window's segments by time: each word
+    goes to the segment whose span contains its midpoint (nearest span
+    otherwise).  Word and segment order are both monotone, so assignment
+    preserves reading order."""
+    if not segments or not words:
+        return
+    for s in segments:
+        s.words = []
+    for w in words:
+        mid = (w.start + w.end) / 2.0
+        target = None
+        for s in segments:
+            if s.start_time - 1e-6 <= mid <= s.end_time + 1e-6:
+                target = s
+                break
+        if target is None:
+            target = min(
+                segments,
+                key=lambda s: min(
+                    abs(s.start_time - mid), abs(s.end_time - mid)
+                ),
+            )
+        target.words.append(w)
 
 
 def process_window_result(
@@ -181,9 +212,18 @@ class TranscribeTask:
         self._params = params
         self._compute_dtype = compute_dtype
         self.decode_task = DecodeTask(
-            params, dims, tokenizer, options.decode, compute_dtype=compute_dtype
+            params, dims, tokenizer, options.decode, compute_dtype=compute_dtype,
+            keep_audio_features=options.word_timestamps,
         )
         self._fallback_tasks: dict = {}
+        self._aligner = None
+        if options.word_timestamps:
+            from .decode.align import WordAligner
+
+            self._aligner = WordAligner(
+                params, dims, tokenizer, compute_dtype=compute_dtype,
+                alignment_heads=options.alignment_heads,
+            )
 
     def _sampling_task(self) -> DecodeTask:
         """Shared decode task for every t>0 rung of the temperature ladder:
@@ -211,6 +251,7 @@ class TranscribeTask:
                 self.tokenizer,
                 opts,
                 compute_dtype=self._compute_dtype,
+                keep_audio_features=self.options.word_timestamps,
             )
         return self._fallback_tasks["sampling"]
 
@@ -273,6 +314,8 @@ class TranscribeTask:
                 seek += N_FRAMES
                 continue
 
+            n_segs_before = len(segments)
+            seek_before = seek
             seek = process_window_result(
                 tokens,
                 segments,
@@ -284,6 +327,18 @@ class TranscribeTask:
                 time_precision,
                 self.tokenizer.decode,
             )
+            aligner = getattr(self, "_aligner", None)  # tolerate stub tasks
+            if aligner is not None and result.audio_features is not None:
+                content = max(
+                    1, min(n_frames - seek_before, N_FRAMES) // input_stride
+                )
+                words = aligner.align_window(
+                    [int(t) for t in segment_tokens],
+                    result.audio_features,
+                    seek_before * QUANTUM,
+                    content,
+                )
+                assign_words(segments[n_segs_before:], words)
 
         tokens_arr = np.asarray(tokens, np.int64)
         return TranscribeOutput(
