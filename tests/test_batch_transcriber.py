@@ -159,3 +159,33 @@ def test_batch_padded_to_static_size(setup):
     assert outs[0].text and outs[1].text
     assert len(seen_shapes) >= 2
     assert all(s == (2, 2) for s in seen_shapes), seen_shapes
+
+
+def test_batch_word_timestamps_match_sequential(setup):
+    """Word-level timestamps (decode/align.py) through the batch driver
+    match the single-utterance TranscribeTask word for word."""
+    import dataclasses
+
+    params, audios = setup
+    tok = SmallTokenizer()
+    opts = dataclasses.replace(OPTS, word_timestamps=True)
+
+    batch = BatchTranscriber(params, DIMS, tok, opts, batch_size=2)
+    outs = batch.run(audios)
+
+    for audio, got in zip(audios, outs):
+        want = TranscribeTask(params, DIMS, tok, opts).run(audio)
+        for gs, ws in zip(got.segments, want.segments):
+            assert (gs.words is None) == (ws.words is None)
+            if gs.words is None:
+                continue
+            assert len(gs.words) == len(ws.words)
+            for gw, ww in zip(gs.words, ws.words):
+                assert gw.word == ww.word
+                assert gw.start == pytest.approx(ww.start)
+                assert gw.end == pytest.approx(ww.end)
+    # sanity: at least one aligned word somewhere, all monotone in-bounds
+    words = [w for o in outs for s in o.segments for w in (s.words or [])]
+    assert words
+    for w in words:
+        assert 0.0 <= w.start <= w.end

@@ -176,12 +176,6 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.word_timestamps:
-            print(
-                "--word-timestamps is not supported in --batch mode yet",
-                file=sys.stderr,
-            )
-            return 2
         from .parallel.batch import BatchTranscriber
 
         rc = 0

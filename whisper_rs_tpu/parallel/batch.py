@@ -66,8 +66,17 @@ class BatchTranscriber:
         self.options = options
         self.batch_size = batch_size
         self.decode_task = DecodeTask(
-            params, dims, tokenizer, options.decode, compute_dtype=compute_dtype
+            params, dims, tokenizer, options.decode, compute_dtype=compute_dtype,
+            keep_audio_features=options.word_timestamps,
         )
+        self._aligner = None
+        if options.word_timestamps:
+            from ..decode.align import WordAligner
+
+            self._aligner = WordAligner(
+                params, dims, tokenizer, compute_dtype=compute_dtype,
+                alignment_heads=options.alignment_heads,
+            )
 
     def run(
         self, audios: Sequence[np.ndarray], raise_on_error: bool = True
@@ -154,6 +163,8 @@ class BatchTranscriber:
                 if should_skip_no_speech(opts, r.no_speech_prob, r.avg_logprob):
                     s.seek += N_FRAMES
                     continue
+                n_segs_before = len(s.segments)
+                seek_before = s.seek
                 s.seek = process_window_result(
                     s.tokens,
                     s.segments,
@@ -165,6 +176,21 @@ class BatchTranscriber:
                     time_precision,
                     self.tokenizer.decode,
                 )
+                if self._aligner is not None and r.audio_features is not None:
+                    from ..transcribe import assign_words
+
+                    content = max(
+                        1,
+                        min(s.mel.shape[-1] - seek_before, N_FRAMES)
+                        // input_stride,
+                    )
+                    words = self._aligner.align_window(
+                        [int(t) for t in np.asarray(r.tokens)],
+                        r.audio_features,
+                        seek_before * QUANTUM,
+                        content,
+                    )
+                    assign_words(s.segments[n_segs_before:], words)
 
         outputs = []
         for s in states:
