@@ -83,6 +83,39 @@ def test_split_words_real_tokenizer():
     )
 
 
+def test_split_words_multibyte_cjk():
+    """CJK text tokenizes into partial-UTF-8 byte fragments that decode to
+    U+FFFD individually; cumulative decoding must merge them into complete
+    characters (no '�' may survive into any word)."""
+    from whisper_rs_tpu.tokenize import Tokenizer
+
+    tok = Tokenizer()
+    text = " 日本語のテスト"
+    ids = list(tok.encode(text))
+    # precondition: at least one token is a partial UTF-8 fragment
+    per_token = [tok.decode(np.asarray([t], np.int64)) for t in ids]
+    assert any("�" in p for p in per_token), "fixture lost its point"
+    for lang in ("ja", "en"):
+        words = split_words(ids, tok.decode, lang)
+        assert [t for _, tl in words for t in tl] == ids
+        assert all("�" not in w for w, _ in words), (lang, words)
+        assert "".join(w for w, _ in words) == text
+    # no-space language splits per character-piece, not one giant word
+    assert len(split_words(ids, tok.decode, "ja")) >= 3
+
+
+def test_split_words_emoji_roundtrip():
+    from whisper_rs_tpu.tokenize import Tokenizer
+
+    tok = Tokenizer()
+    text = " nice 👍 ok"
+    ids = list(tok.encode(text))
+    words = split_words(ids, tok.decode, "en")
+    assert [t for _, tl in words for t in tl] == ids
+    assert all("�" not in w for w, _ in words)
+    assert "".join(w for w, _ in words) == text
+
+
 def test_transcribe_word_timestamps_e2e():
     import jax
 

@@ -211,21 +211,51 @@ def _dtw_fast(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.array(rows[::-1]), np.array(cols[::-1])
 
 
+def _complete_unicode_pieces(
+    token_ids: Sequence[int], decode_fn
+) -> List[Tuple[str, List[int]]]:
+    """Group BPE tokens into complete-unicode pieces by cumulative decoding.
+
+    A token holding a partial UTF-8 sequence decodes to U+FFFD, not the
+    empty string, so per-token decoding cannot detect fragment boundaries
+    for CJK/emoji text.  Instead, decode a running token list and cut a
+    piece only when its decode contains no U+FFFD — unless the U+FFFD is
+    genuinely present in the full decode at that offset (i.e. the audio
+    really transcribed a replacement char)."""
+    REPL = "�"
+    ids = [int(t) for t in token_ids]
+    full = decode_fn(np.asarray(ids, np.int64)) if ids else ""
+    pieces: List[Tuple[str, List[int]]] = []
+    cur: List[int] = []
+    offset = 0
+    for tid in ids:
+        cur.append(tid)
+        dec = decode_fn(np.asarray(cur, np.int64))
+        i = dec.find(REPL)
+        if i < 0 or (offset + i < len(full) and full[offset + i] == REPL):
+            pieces.append((dec, cur))
+            cur = []
+            offset += len(dec)
+    if cur:  # trailing incomplete fragment (truncated window tail)
+        pieces.append((decode_fn(np.asarray(cur, np.int64)), cur))
+    return pieces
+
+
 def split_words(
     token_ids: Sequence[int], decode_fn, language: Optional[str]
 ) -> List[Tuple[str, List[int]]]:
     """Group text tokens into words.  Space-delimited scripts start a new
-    word at a leading-space piece; no-space scripts split per token;
-    punctuation-only pieces attach to the preceding word."""
-    per_token = [decode_fn(np.asarray([t], np.int64)) for t in token_ids]
+    word at a leading-space piece; no-space scripts split per complete
+    unicode piece; punctuation-only pieces attach to the preceding word.
+    Multi-byte BPE fragments are first merged into complete unicode pieces
+    via cumulative decoding (see ``_complete_unicode_pieces``)."""
     words: List[Tuple[str, List[int]]] = []
     no_space = (language or "en") in _NO_SPACE_LANGUAGES
-    for tid, piece in zip(token_ids, per_token):
+    for piece, ids in _complete_unicode_pieces(token_ids, decode_fn):
         if not piece:
-            # multi-byte BPE fragment: keep with the current word
             if words:
-                words[-1][1].append(tid)
-                continue
+                words[-1] = (words[-1][0], words[-1][1] + ids)
+            continue
         stripped = piece.strip()
         punct_only = bool(stripped) and all(c in _PUNCT for c in stripped)
         new_word = (
@@ -234,9 +264,9 @@ def split_words(
             or (not no_space and piece.startswith(" ") and not punct_only)
         )
         if new_word:
-            words.append((piece, [tid]))
+            words.append((piece, ids))
         else:
-            words[-1] = (words[-1][0] + piece, words[-1][1] + [tid])
+            words[-1] = (words[-1][0] + piece, words[-1][1] + ids)
     return words
 
 
@@ -275,8 +305,10 @@ class WordAligner:
         eot = tok.token_id_eot
 
         # text tokens only (timestamp tokens are segmentation markers, not
-        # aligned content); remember their positions in the fed sequence
-        sot_seq = list(tok.sequence_sot())
+        # aligned content); remember their positions in the fed sequence.
+        # <|notimestamps|> follows the SOT sequence, matching the
+        # established teacher-forced alignment conditioning.
+        sot_seq = list(tok.sequence_sot()) + [tok.token_id_no_timestamps]
         fed: List[int] = list(sot_seq)
         text_positions: List[int] = []
         text_ids: List[int] = []
@@ -304,11 +336,12 @@ class WordAligner:
         )  # [nAH, T, Tk]
         w = np.asarray(qk, np.float32)[:, text_positions, :]
         frames = max(1, min(content_frames, w.shape[-1]))
-        # softmax over the full audio axis, THEN slice to content frames
+        # slice to content frames BEFORE the softmax so attention mass
+        # leaked onto padding frames cannot perturb short final windows
+        w = w[:, :, :frames]
         w = w - w.max(axis=-1, keepdims=True)
         w = np.exp(w)
         w = w / w.sum(axis=-1, keepdims=True)
-        w = w[:, :, :frames]
         # z-normalize each head over the token axis, median-filter in time
         mean = w.mean(axis=1, keepdims=True)
         std = w.std(axis=1, keepdims=True) + 1e-8

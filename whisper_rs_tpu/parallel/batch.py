@@ -164,6 +164,7 @@ class BatchTranscriber:
                     s.seek += N_FRAMES
                     continue
                 n_segs_before = len(s.segments)
+                n_tokens_before = len(s.tokens)
                 seek_before = s.seek
                 s.seek = process_window_result(
                     s.tokens,
@@ -184,8 +185,11 @@ class BatchTranscriber:
                         min(s.mel.shape[-1] - seek_before, N_FRAMES)
                         // input_stride,
                     )
+                    # align only the tokens this window actually consumed —
+                    # the tail past the last consecutive-timestamp pair is
+                    # re-decoded (and re-aligned) by the next window
                     words = self._aligner.align_window(
-                        [int(t) for t in np.asarray(r.tokens)],
+                        s.tokens[n_tokens_before:],
                         r.audio_features,
                         seek_before * QUANTUM,
                         content,

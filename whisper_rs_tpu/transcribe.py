@@ -315,6 +315,7 @@ class TranscribeTask:
                 continue
 
             n_segs_before = len(segments)
+            n_tokens_before = len(tokens)
             seek_before = seek
             seek = process_window_result(
                 tokens,
@@ -332,8 +333,11 @@ class TranscribeTask:
                 content = max(
                     1, min(n_frames - seek_before, N_FRAMES) // input_stride
                 )
+                # align only the tokens this window actually consumed —
+                # the tail past the last consecutive-timestamp pair is
+                # re-decoded (and re-aligned) by the next window
                 words = aligner.align_window(
-                    [int(t) for t in segment_tokens],
+                    tokens[n_tokens_before:],
                     result.audio_features,
                     seek_before * QUANTUM,
                     content,
