@@ -71,12 +71,12 @@ def test_continuous_admission_no_drain_barrier(setup):
     orig = engine.decode_task.run_batch
     barrier = threading.Event()
 
-    def spy(mel, prompts):
+    def spy(mel, prompts, **kw):
         rounds.append(sorted(
             j.handle.request_id for j in engine._active if j is not None
         ))
         barrier.set()  # first round started: release the late submitter
-        return orig(mel, prompts)
+        return orig(mel, prompts, **kw)
 
     engine.decode_task.run_batch = spy
     try:
@@ -110,10 +110,10 @@ def test_error_isolation_per_request(setup):
 
     orig = engine.decode_task.run_batch
 
-    def flaky(mel, prompts):
+    def flaky(mel, prompts, **kw):
         if np.isnan(np.asarray(mel)).any():
             raise Boom("device error")
-        return orig(mel, prompts)
+        return orig(mel, prompts, **kw)
 
     engine.decode_task.run_batch = flaky
     try:
@@ -164,3 +164,90 @@ def test_stats_and_partial_segments(setup):
         assert h.latency is not None and h.latency > 0.0
         # after completion the partial-segment snapshot equals the output
         assert len(h.segments_so_far()) == len(out.segments)
+
+
+def test_serving_temperature_fallback_matches_sequential(setup):
+    """Full TranscribeOptions contract: a window failing needs_fallback is
+    re-decoded at the next temperature rung (seek held) and the accepted
+    output is bit-identical to the sequential TranscribeTask running the
+    same ladder.  logprob_threshold=1.0 forces every window off rung 0
+    (avg logprobs are always negative), so the t>0 sampling task MUST
+    engage."""
+    import dataclasses
+
+    params, audios = setup
+    tok = SmallTokenizer()
+    opts = dataclasses.replace(
+        OPTS, temperatures=(0.0, 0.5), logprob_threshold=1.0
+    )
+
+    with ServingEngine(params, DIMS, tok, opts, batch_size=2) as engine:
+        handles = [engine.submit(a) for a in audios]
+        outs = [h.result(timeout=600) for h in handles]
+        engaged = engine._sampling_task_cache is not None
+    assert engaged, "fallback never reached the t>0 sampling rung"
+
+    for audio, got in zip(audios, outs):
+        want = TranscribeTask(params, DIMS, tok, opts).run(audio)
+        assert got.text == want.text
+        np.testing.assert_array_equal(got.tokens, want.tokens)
+        assert len(got.segments) == len(want.segments)
+        assert got.avg_logprobs == pytest.approx(want.avg_logprobs)
+
+
+def test_serving_word_timestamps_matches_sequential(setup):
+    """Word-timestamp alignment runs per serving row and matches the
+    sequential TranscribeTask word-for-word."""
+    import dataclasses
+
+    params, audios = setup
+    tok = SmallTokenizer()
+    opts = dataclasses.replace(OPTS, word_timestamps=True)
+
+    with ServingEngine(params, DIMS, tok, opts, batch_size=2) as engine:
+        handles = [engine.submit(a) for a in audios]
+        outs = [h.result(timeout=600) for h in handles]
+
+    any_words = False
+    for audio, got in zip(audios, outs):
+        want = TranscribeTask(params, DIMS, tok, opts).run(audio)
+        assert got.text == want.text
+        assert len(got.segments) == len(want.segments)
+        for gs, ws in zip(got.segments, want.segments):
+            gw = gs.words or []
+            ww = ws.words or []
+            assert len(gw) == len(ww)
+            for a, b in zip(gw, ww):
+                any_words = True
+                assert a.word == b.word
+                assert a.start == pytest.approx(b.start)
+                assert a.end == pytest.approx(b.end)
+    assert any_words, "expected at least one aligned word"
+
+
+def test_serving_tp_sharded_params(setup):
+    """Serving is the layer multi-chip exists for: the engine must run on
+    TP-sharded params over the fake mesh and match unsharded serving."""
+    import jax as _jax
+
+    from whisper_rs_tpu.parallel import make_mesh, shard_params
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs the 8-device fake mesh")
+
+    params, audios = setup
+    tok = SmallTokenizer()
+
+    with ServingEngine(params, DIMS, tok, OPTS, batch_size=2) as engine:
+        want = [engine.submit(a).result(timeout=600) for a in audios]
+
+    mesh = make_mesh(n_model=2)
+    with _jax.set_mesh(mesh):
+        sp = shard_params(mesh, params)
+        with ServingEngine(sp, DIMS, tok, OPTS, batch_size=2) as engine:
+            handles = [engine.submit(a) for a in audios]
+            got = [h.result(timeout=600) for h in handles]
+
+    for w, g in zip(want, got):
+        assert w.text == g.text
+        np.testing.assert_array_equal(w.tokens, g.tokens)

@@ -17,11 +17,17 @@ How it maps to the hardware/runtime model:
     a queued request is admitted into it immediately — no drain barrier,
     so short requests are not serialized behind long ones (the classic
     continuous-batching win over static batching).
-  * Per-utterance prompt conditioning, segmentation, seek advance, and
-    the no-speech skip are all per-row state on the host; rows are
-    independent in the jitted program (per-row end-aligned prompts), so
-    batch composition cannot change any row's tokens — serving output is
-    bit-identical to the sequential ``TranscribeTask``.
+  * Per-utterance prompt conditioning, segmentation, seek advance, the
+    no-speech skip, the temperature-fallback ladder, and word-timestamp
+    alignment are all per-row state on the host; rows are independent in
+    the jitted program (per-row end-aligned prompts), so batch
+    composition cannot change any row's tokens — serving output is
+    bit-identical to the sequential ``TranscribeTask`` for the FULL
+    ``TranscribeOptions`` contract.
+  * Temperature fallback: a row whose window fails ``needs_fallback``
+    holds its seek and is re-decoded next round at the next rung; rows
+    are grouped per round by rung (the temperature is one traced scalar
+    per call) so a retry never blocks its batchmates.
   * Per-utterance error isolation mirrors parallel/batch.py: a poisoned
     input fails only its own request.
 
@@ -38,7 +44,7 @@ from __future__ import annotations
 import collections
 import threading
 import time
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +57,8 @@ from .transcribe import (
     QUANTUM,
     TranscribeOutput,
     TranscribeSegment,
+    assign_words,
+    needs_fallback,
     process_window_result,
     should_skip_no_speech,
 )
@@ -129,6 +137,10 @@ class _Job:
         self.segments: List[TranscribeSegment] = []
         self.avg_logprobs: List[float] = []
         self.no_speech_probs: List[float] = []
+        # current temperature-ladder rung for the in-flight window; a
+        # window that fails ``needs_fallback`` is re-decoded at the next
+        # rung before the seek advances (transcribe.py ladder semantics)
+        self.temp_idx = 0
 
     @property
     def done(self) -> bool:
@@ -158,9 +170,21 @@ class ServingEngine:
         self.options = options
         self.batch_size = batch_size
         self.max_queue = max_queue
+        self._params = params
+        self._compute_dtype = compute_dtype
         self.decode_task = DecodeTask(
-            params, dims, tokenizer, options.decode, compute_dtype=compute_dtype
+            params, dims, tokenizer, options.decode, compute_dtype=compute_dtype,
+            keep_audio_features=options.word_timestamps,
         )
+        self._sampling_task_cache: Optional[DecodeTask] = None
+        self._aligner = None
+        if options.word_timestamps:
+            from .decode.align import WordAligner
+
+            self._aligner = WordAligner(
+                params, dims, tokenizer, compute_dtype=compute_dtype,
+                alignment_heads=options.alignment_heads,
+            )
 
         if options.initial_prompt_tokens is not None:
             self._init_tokens = list(options.initial_prompt_tokens)
@@ -316,47 +340,107 @@ class ServingEngine:
                     continue
             self._decode_round(jobs)
 
-    def _decode_round(self, jobs) -> None:
-        """One window batch: gather active rows, decode, advance each."""
-        windows, prompts = [], []
-        for _, job in jobs:
-            windows.append(
-                np.asarray(
-                    pad_or_trim(jnp.asarray(job.mel[:, job.seek:]), N_FRAMES)
-                )
-            )
-            prompts.append(job.tokens if self._condition else None)
-        n_real = len(windows)
-        while len(windows) < self.batch_size:  # static shape: pad w/ repeats
-            windows.append(windows[-1])
-            prompts.append(prompts[-1])
+    def _sampling_task(self) -> DecodeTask:
+        """Shared best-of-N sampling task for every t>0 rung of the
+        temperature ladder (one executable; the temperature is a traced
+        scalar passed at run time — transcribe.py:_sampling_task)."""
+        if self._sampling_task_cache is None:
+            import dataclasses as _dc
 
+            from .config import BeamSearchMode, GreedyMode
+
+            base_mode = self.options.decode.mode
+            n = (
+                base_mode.beam_size
+                if isinstance(base_mode, BeamSearchMode)
+                else getattr(base_mode, "group_size", 1) or 1
+            )
+            opts = _dc.replace(
+                self.options.decode, mode=GreedyMode(group_size=max(n, 1))
+            )
+            self._sampling_task_cache = DecodeTask(
+                self._params,
+                self.dims,
+                self.tokenizer,
+                opts,
+                compute_dtype=self._compute_dtype,
+                keep_audio_features=self.options.word_timestamps,
+            )
+        return self._sampling_task_cache
+
+    def _decode_round(self, jobs) -> None:
+        """One serving round: group active rows by their current
+        temperature-ladder rung (rows at different rungs cannot share a
+        call — the temperature is one traced scalar per batch), decode
+        each group as a full-shape window batch, advance each row."""
+        ladder = self.options.temperatures or (0.0,)
+        groups: dict = {}  # temp key (None = primary task) -> [(slot, job)]
+        for slot, job in jobs:
+            t = ladder[min(job.temp_idx, len(ladder) - 1)]
+            key = None if (self.options.temperatures is None or t == 0.0) else float(t)
+            groups.setdefault(key, []).append((slot, job))
+
+        results_by_slot: dict = {}
+        n_calls = 0
+        n_padded = 0
         t0 = time.monotonic()
-        try:
-            results = self.decode_task.run_batch(np.stack(windows), prompts)
-        except Exception:
-            # isolate: retry each active row alone (parallel/batch.py model)
-            results = []
-            for w, p in zip(windows[:n_real], prompts[:n_real]):
-                try:
-                    results.append(self.decode_task.run_batch(w[None], [p])[0])
-                except Exception as e:
-                    results.append(e)
+        for key, group in groups.items():
+            task = self.decode_task if key is None else self._sampling_task()
+            windows, prompts = [], []
+            for _, job in group:
+                windows.append(
+                    np.asarray(
+                        pad_or_trim(jnp.asarray(job.mel[:, job.seek:]), N_FRAMES)
+                    )
+                )
+                prompts.append(job.tokens if self._condition else None)
+            n_real = len(windows)
+            while len(windows) < self.batch_size:  # static shape: pad w/ repeats
+                windows.append(windows[-1])
+                prompts.append(prompts[-1])
+            n_calls += 1
+            n_padded += self.batch_size - n_real
+            try:
+                results = task.run_batch(
+                    np.stack(windows), prompts, temperature=key
+                )
+            except Exception:
+                # isolate: retry each active row alone (parallel/batch.py)
+                results = []
+                for w, p in zip(windows[:n_real], prompts[:n_real]):
+                    try:
+                        results.append(
+                            task.run_batch(w[None], [p], temperature=key)[0]
+                        )
+                    except Exception as e:
+                        results.append(e)
+            for (slot, _), r in zip(group, results):
+                results_by_slot[slot] = r
         dt = time.monotonic() - t0
 
+        # advance rows OUTSIDE the lock (jobs are engine-thread-owned;
+        # word alignment does device work and must not block submit())
         finished: List[_Job] = []
+        failed: List[Tuple[int, _Job, Exception]] = []
+        advanced: List[Tuple[int, _Job]] = []
+        for slot, job in jobs:
+            r = results_by_slot[slot]
+            if isinstance(r, Exception):
+                failed.append((slot, job, r))
+                continue
+            self._advance(job, r)
+            advanced.append((slot, job))
+
         with self._lock:
-            self._n_window_batches += 1
-            self._n_windows_real += n_real
-            self._n_windows_padded += self.batch_size - n_real
+            self._n_window_batches += n_calls
+            self._n_windows_real += len(jobs)
+            self._n_windows_padded += n_padded
             self._decode_seconds += dt
-            for (slot, job), r in zip(jobs, results):
-                if isinstance(r, Exception):
-                    self._active[slot] = None
-                    self._n_failed += 1
-                    job.handle._reject(r)
-                    continue
-                self._advance(job, r)
+            for slot, job, err in failed:
+                self._active[slot] = None
+                self._n_failed += 1
+                job.handle._reject(err)
+            for slot, job in advanced:
                 if job.done:
                     self._active[slot] = None
                     finished.append(job)
@@ -366,12 +450,28 @@ class ServingEngine:
             self._finish(job)
 
     def _advance(self, job: _Job, r) -> None:
+        opts = self.options
+        ladder = opts.temperatures
+        if (
+            ladder is not None
+            and job.temp_idx < len(ladder) - 1
+            and needs_fallback(opts, r.text, r.avg_logprob)
+        ):
+            # retry the SAME window at the next rung next round; the seek
+            # does not advance and nothing is recorded for this attempt
+            job.temp_idx += 1
+            return
+        job.temp_idx = 0
+
         input_stride = N_FRAMES // self.dims.n_audio_ctx
         job.avg_logprobs.append(r.avg_logprob)
         job.no_speech_probs.append(r.no_speech_prob)
         if should_skip_no_speech(self.options, r.no_speech_prob, r.avg_logprob):
             job.seek += N_FRAMES
         else:
+            n_segs_before = len(job.segments)
+            n_tokens_before = len(job.tokens)
+            seek_before = job.seek
             job.seek = process_window_result(
                 job.tokens,
                 job.segments,
@@ -383,6 +483,22 @@ class ServingEngine:
                 input_stride * QUANTUM,
                 self.tokenizer.decode,
             )
+            if (
+                self._aligner is not None
+                and getattr(r, "audio_features", None) is not None
+            ):
+                content = max(
+                    1,
+                    min(job.mel.shape[-1] - seek_before, N_FRAMES)
+                    // input_stride,
+                )
+                words = self._aligner.align_window(
+                    job.tokens[n_tokens_before:],
+                    r.audio_features,
+                    seek_before * QUANTUM,
+                    content,
+                )
+                assign_words(job.segments[n_segs_before:], words)
         job.handle._publish_segments(job.segments)
 
     def _finish(self, job: _Job) -> None:
