@@ -1,7 +1,11 @@
 """GPipe pipeline-parallel encoder vs the single-device forward (fake mesh).
 
-Closes the last SURVEY §2.3 parallelism row: encoder blocks staged across
-a ('stage',) mesh, microbatches flowing via lax.ppermute under shard_map.
+Covers the SURVEY §2.3 PP row AND its composition with the production
+parallelism: encoder blocks staged across the 'stage' axis of a
+('stage','data','model') mesh (microbatches flowing via lax.ppermute under
+a partial-manual shard_map, TP/DP riding GSPMD inside each stage), plus an
+exact-match end-to-end transcription through BatchTranscriber with the PP
+encoder injected (the CLI --pp path).
 """
 
 import jax
@@ -11,7 +15,12 @@ import pytest
 
 from whisper_rs_tpu.config import ModelDims
 from whisper_rs_tpu.models import encoder_forward, init_params
-from whisper_rs_tpu.parallel.pipeline import encoder_forward_pp, make_pipeline_mesh
+from whisper_rs_tpu.parallel import make_mesh, shard_params
+from whisper_rs_tpu.parallel.pipeline import (
+    encoder_forward_pp,
+    make_pipeline_mesh,
+    pp_encoder_fn,
+)
 
 DIMS = ModelDims(
     n_mels=80, n_vocab=1000, n_audio_ctx=1500, n_audio_state=64,
@@ -45,3 +54,90 @@ def test_pp_rejects_bad_split(setup):
     mesh = make_pipeline_mesh(3)  # 4 layers not divisible by 3 stages
     with pytest.raises(ValueError):
         encoder_forward_pp(params, mel, DIMS, mesh)
+
+
+@pytest.mark.parametrize("n_data,n_model", [(2, 2), (4, 1), (1, 4)])
+def test_pp_composes_with_dp_tp(setup, n_data, n_model):
+    """PP x DP x TP on one ('stage','data','model') mesh: stage-sharded
+    block params (param_shardings), TP psums and DP batch sharding under
+    GSPMD inside each stage — exact match vs the single-device forward."""
+    params, mel = setup
+    expect = np.asarray(encoder_forward(params, mel, DIMS))
+    mesh = make_mesh(n_model=n_model, n_data=n_data, n_stage=2)
+    sp = shard_params(mesh, params)
+    got = np.asarray(
+        jax.jit(
+            lambda p, m: encoder_forward_pp(p, m, DIMS, mesh, n_micro=4)
+        )(sp, mel)
+    )
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_pp_stage_sharding_cuts_per_device_block_bytes(setup):
+    """Placement IS the pipeline assignment: each device must hold only
+    L/S of the encoder block stack."""
+    params, _ = setup
+    mesh = make_pipeline_mesh(2, n_data=2, n_model=1)  # first 4 devices
+    sp = shard_params(mesh, params)
+    w = sp["encoder"]["blocks"]["mlp"]["fc1"]["w"]  # [L, D, 4D]
+    shard_shape = w.sharding.shard_shape(w.shape)
+    assert shard_shape[0] == DIMS.n_audio_layer // 2
+    # decoder blocks stay stage-replicated
+    dw = sp["decoder"]["blocks"]["mlp"]["fc1"]["w"]
+    assert dw.sharding.shard_shape(dw.shape)[0] == DIMS.n_text_layer
+
+
+def test_pp_transcription_e2e_matches_unsharded(setup):
+    """The CLI --pp path: full chunked transcription through
+    BatchTranscriber with the PP encoder injected into the jitted decode
+    window program, on the composed mesh, bit-identical tokens."""
+    from whisper_rs_tpu.config import (
+        DecodeOptions,
+        GreedyMode,
+        TranscribeOptions,
+    )
+    from whisper_rs_tpu.parallel.batch import BatchTranscriber
+
+    class SmallTok:
+        token_id_sot = 501
+        token_id_eot = 500
+        token_id_no_speech = 502
+        token_id_startofprev = 503
+        token_id_no_timestamps = 599
+        token_id_ts_begin = 600
+        token_id_space = 7
+
+        def decode(self, toks):
+            return "".join(f"<{int(t)}>" for t in toks if int(t) < 500)
+
+        def sequence_sot(self):
+            return [self.token_id_sot]
+
+        def non_speech_tokens(self):
+            return (3, 5)
+
+    params, _ = setup
+    opts = TranscribeOptions(
+        decode=DecodeOptions(mode=GreedyMode(), sample_len=6),
+        condition_on_prev_text=True,
+    )
+    rng = np.random.default_rng(11)
+    audios = [
+        (rng.standard_normal(16000 * 35) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 * 20) * 0.1).astype(np.float32),
+    ]
+
+    base = BatchTranscriber(params, DIMS, SmallTok(), opts, batch_size=2)
+    want = base.run(audios)
+
+    mesh = make_mesh(n_model=2, n_data=2, n_stage=2)
+    sp = shard_params(mesh, params)
+    pp = BatchTranscriber(
+        sp, DIMS, SmallTok(), opts, batch_size=2,
+        encoder_fn=pp_encoder_fn(mesh),
+    )
+    got = pp.run(audios)
+
+    for w, g in zip(want, got):
+        assert w.text == g.text
+        np.testing.assert_array_equal(w.tokens, g.tokens)

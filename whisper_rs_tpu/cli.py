@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel chips")
     p.add_argument(
+        "--pp", type=int, default=1,
+        help="pipeline-parallel stages over the encoder block stack "
+        "(composes with --tp: mesh is stage x data x model)",
+    )
+    p.add_argument(
         "--batch", type=int, default=1,
         help="transcribe files through the data-parallel batch driver, N "
         "windows per device step (throughput mode for many files; "
@@ -83,12 +88,17 @@ def main(argv=None) -> int:
 
         params = quantize_params(params)
 
-    if args.tp > 1:
+    encoder_fn = None
+    if args.tp > 1 or args.pp > 1:
         from .parallel import make_mesh, shard_params
 
-        mesh = make_mesh(n_model=args.tp)
+        mesh = make_mesh(n_model=args.tp, n_stage=args.pp)
         params = shard_params(mesh, params)
         log.info("sharded params over mesh %s", mesh)
+        if args.pp > 1:
+            from .parallel.pipeline import pp_encoder_fn
+
+            encoder_fn = pp_encoder_fn(mesh)
 
     detect = args.language == "auto"
     tokenizer = Tokenizer.for_dims(
@@ -192,6 +202,7 @@ def main(argv=None) -> int:
         bt = BatchTranscriber(
             params, dims, tokenizer, options,
             batch_size=args.batch, compute_dtype=dtype,
+            encoder_fn=encoder_fn,
         )
         secs = sum(len(a) for a in audios) / 16000.0
         with step_timer(f"batch transcribe {len(paths)} files", audio_seconds=secs):
@@ -204,7 +215,10 @@ def main(argv=None) -> int:
                 emit(path, out, None)
         return rc
 
-    task = TranscribeTask(params, dims, tokenizer, options, compute_dtype=dtype)
+    task = TranscribeTask(
+        params, dims, tokenizer, options, compute_dtype=dtype,
+        encoder_fn=encoder_fn,
+    )
 
     rc = 0
     for path in args.audio:

@@ -73,6 +73,7 @@ def _encode_and_prefill(
     compute_dtype,
     key_start=None,  # [n_audio] i32: first valid prompt slot per row (or None)
     quantize_kv: bool = False,
+    encoder_fn=None,  # (params, mel, dims) -> xa override (e.g. PP encoder)
 ):
     """Encoder forward, group repeat, prefill pass.
 
@@ -82,7 +83,9 @@ def _encode_and_prefill(
     beam/group size).
     """
     n_audio = mel.shape[0]
-    xa = encoder_forward(params, mel.astype(compute_dtype), dims)
+    if encoder_fn is None:
+        encoder_fn = encoder_forward
+    xa = encoder_fn(params, mel.astype(compute_dtype), dims)
     audio_features = xa
 
     # repeat_interleave along batch for beam/group (decode/mod.rs:307-313).
@@ -226,6 +229,7 @@ def decode_greedy(
     rng_key=None,
     quantize_kv: bool = False,
     temperature=None,  # traced scalar override of mode.temperature
+    encoder_fn=None,  # (params, mel, dims) -> xa override (e.g. PP encoder)
 ) -> DecodeResult:
     eot = cfg.token_id_eot
     n_ctx = dims.n_text_ctx
@@ -239,6 +243,7 @@ def decode_greedy(
     (tokens, first_logits, cache, cross_kv, no_speech, feats, key_start) = _encode_and_prefill(
         params, mel, initial_tokens, sample_begin, sot_idx, group, dims, cfg,
         no_speech_id, compute_dtype, key_start, quantize_kv,
+        encoder_fn=encoder_fn,
     )
     B = tokens.shape[0]
     n_audio = B // group
@@ -483,6 +488,7 @@ def decode_beam(
     rng_key=None,  # unused (beam search is deterministic); signature parity
     quantize_kv: bool = False,
     temperature=None,  # unused; signature parity with decode_greedy
+    encoder_fn=None,  # (params, mel, dims) -> xa override (e.g. PP encoder)
 ) -> DecodeResult:
     beam = mode.beam_size
     # max finished candidates per audio (beam_search.rs:122-124)
@@ -493,6 +499,7 @@ def decode_beam(
     (tokens, first_logits, cache, cross_kv, no_speech, feats, key_start) = _encode_and_prefill(
         params, mel, initial_tokens, sample_begin, sot_idx, beam, dims, cfg,
         no_speech_id, compute_dtype, key_start, quantize_kv,
+        encoder_fn=encoder_fn,
     )
     B = tokens.shape[0]
     n_audio = B // beam

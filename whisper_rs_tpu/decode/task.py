@@ -51,6 +51,7 @@ class DecodeTask:
         compute_dtype=jnp.float32,
         keep_audio_features: bool = False,
         quantize_kv: bool = False,
+        encoder_fn=None,
     ):
         self.params = params
         self.dims = dims
@@ -59,6 +60,10 @@ class DecodeTask:
         self.compute_dtype = compute_dtype
         self.keep_audio_features = keep_audio_features
         self.quantize_kv = quantize_kv
+        # optional (params, mel, dims) -> xa override: routes the window
+        # program's encoder through e.g. the PP pipeline
+        # (parallel.pipeline.pp_encoder_fn)
+        self.encoder_fn = encoder_fn
 
         # filter assembly (decode/mod.rs:156-190)
         suppress: tuple = tuple(options.suppress_tokens or ())
@@ -118,6 +123,7 @@ class DecodeTask:
         length_penalty = self.options.length_penalty
         compute_dtype = self.compute_dtype
         quantize_kv = self.quantize_kv
+        encoder_fn = self.encoder_fn
 
         decode_fn = decode_greedy if isinstance(mode, GreedyMode) else decode_beam
 
@@ -138,6 +144,7 @@ class DecodeTask:
                 key_start=key_start,
                 quantize_kv=quantize_kv,
                 temperature=temperature,
+                encoder_fn=encoder_fn,
             )
             selected, avg_logprob, lengths = rank_max_likelihood(
                 result, sample_begin, eot, length_penalty

@@ -1,7 +1,14 @@
-from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    STAGE_AXIS,
+    data_sharding,
+    make_mesh,
+    replicated,
+)
 from .sharding import batch_sharding, param_shardings, shard_params
 from .distributed import initialize_multihost
-from .pipeline import STAGE_AXIS, encoder_forward_pp, make_pipeline_mesh
+from .pipeline import encoder_forward_pp, make_pipeline_mesh, pp_encoder_fn
 
 __all__ = [
     "DATA_AXIS",
@@ -14,6 +21,7 @@ __all__ = [
     "make_mesh",
     "make_pipeline_mesh",
     "param_shardings",
+    "pp_encoder_fn",
     "replicated",
     "shard_params",
 ]

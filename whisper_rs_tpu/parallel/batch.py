@@ -60,6 +60,7 @@ class BatchTranscriber:
         options: TranscribeOptions = TranscribeOptions(),
         batch_size: int = 8,
         compute_dtype=jnp.float32,
+        encoder_fn=None,
     ):
         self.dims = dims
         self.tokenizer = tokenizer
@@ -68,6 +69,7 @@ class BatchTranscriber:
         self.decode_task = DecodeTask(
             params, dims, tokenizer, options.decode, compute_dtype=compute_dtype,
             keep_audio_features=options.word_timestamps,
+            encoder_fn=encoder_fn,
         )
         self._aligner = None
         if options.word_timestamps:

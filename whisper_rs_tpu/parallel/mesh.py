@@ -17,27 +17,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"
 
 
 def make_mesh(
     n_model: int = 1,
     n_data: Optional[int] = None,
     devices: Optional[Sequence] = None,
+    n_stage: int = 1,
 ) -> Mesh:
-    """('data', 'model') mesh over the given (default: all) devices.
+    """('data', 'model') — or, with ``n_stage > 1``,
+    ('stage', 'data', 'model') — mesh over the given (default: all) devices.
 
-    ``n_model`` chips cooperate on one model replica (TP); the remaining
+    ``n_model`` chips cooperate on one model replica (TP); ``n_stage``
+    groups form an encoder pipeline (parallel/pipeline.py); the remaining
     factor is data-parallel.  TP groups are laid out on the fastest-varying
-    axis so TP collectives ride ICI neighbors.
+    axis so TP collectives ride ICI neighbors; stage hops are the
+    slowest-varying axis (one [B,1500,D] activation per tick — the
+    cheapest traffic class).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if n % n_model != 0:
-        raise ValueError(f"{n} devices not divisible by n_model={n_model}")
+    if n % (n_model * n_stage) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by n_model*n_stage="
+            f"{n_model}*{n_stage}"
+        )
     if n_data is None:
-        n_data = n // n_model
-    if n_data * n_model != n:
-        raise ValueError(f"mesh {n_data}x{n_model} != {n} devices")
+        n_data = n // (n_model * n_stage)
+    if n_stage * n_data * n_model != n:
+        raise ValueError(
+            f"mesh {n_stage}x{n_data}x{n_model} != {n} devices"
+        )
+    if n_stage > 1:
+        arr = np.asarray(devices).reshape(n_stage, n_data, n_model)
+        return Mesh(arr, (STAGE_AXIS, DATA_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

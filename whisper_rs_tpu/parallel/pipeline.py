@@ -1,4 +1,5 @@
-"""Pipeline parallelism (GPipe) for the encoder block stack.
+"""Pipeline parallelism (GPipe) for the encoder block stack, composed
+with the production ('data','model') mesh.
 
 The reference is single-device (SURVEY §2.3: PP row "absent"); this closes
 the remaining parallelism row.  Whisper's encoder is a clean pipeline
@@ -9,23 +10,35 @@ encoder only — which is also where PP makes sense for models that exceed a
 TP group's HBM.
 
 Design (TPU-idiomatic, no host scheduler):
-  * a dedicated 1-D ``('stage',)`` mesh; the stacked per-layer block params
-    ([L, ...] leaves) are sharded along L so each stage holds L/S
-    contiguous blocks — placement IS the pipeline assignment;
-  * ``shard_map`` + ``lax.ppermute`` implement the GPipe schedule: over
-    ``n_micro + S - 1`` ticks, each stage runs its blocks on the activation
-    it holds and passes the result to the right neighbor over ICI;
-  * microbatches enter at stage 0 and finished activations accumulate on
-    the last stage, then are broadcast with a masked psum (small: one
-    [B, 1500, D] per call);
+  * ONE mesh ('stage','data','model') — parallel.make_mesh(n_stage=S);
+    the stacked per-layer block params ([L, ...] leaves) are sharded along
+    L on 'stage' (param_shardings does this automatically on a 3-axis
+    mesh) so each stage holds L/S contiguous blocks — placement IS the
+    pipeline assignment;
+  * ``shard_map`` manual over 'stage' ONLY (``axis_names={'stage'}``):
+    inside each stage the block math stays under GSPMD, so TP sharding of
+    the block weights (heads/MLP on 'model') and DP sharding of the
+    microbatch (on 'data') compose for free — XLA inserts the TP psums
+    per stage exactly as in the non-PP path;
+  * ``lax.ppermute`` over 'stage' implements the GPipe schedule: over
+    ``n_micro + S - 1`` ticks, each stage runs its blocks on the
+    activation it holds and passes the result to the right neighbor over
+    ICI; microbatches enter at stage 0 and finished activations
+    accumulate on the last stage, then are broadcast with a masked psum
+    (small: one [B, 1500, D] per call);
   * the conv stem + positional embedding run before the pipeline and the
-    post-LN after it (replicated — they are <5% of encoder FLOPs).
+    post-LN after it (replicated over 'stage' — <5% of encoder FLOPs);
+  * the whole function is traceable: it runs inside the jitted decode
+    window program via ``pp_encoder_fn`` (DecodeTask ``encoder_fn=``), so
+    PP serves every driver (CLI ``--pp``, BatchTranscriber,
+    ServingEngine) rather than living on an island.
 
 Bubble fraction = (S-1)/(n_micro+S-1); choose n_micro >= 4*S in practice.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -33,10 +46,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:  # jax>=0.7 top-level; the experimental path is deprecated
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
 
 from ..config import ModelDims
 from ..models.whisper import (
@@ -47,15 +56,21 @@ from ..models.whisper import (
     mha_self,
     sinusoids,
 )
+from .mesh import DATA_AXIS, STAGE_AXIS, make_mesh
 
-STAGE_AXIS = "stage"
 
-
-def make_pipeline_mesh(n_stages: int, devices=None) -> Mesh:
+def make_pipeline_mesh(
+    n_stages: int, n_data: int = 1, n_model: int = 1, devices=None
+) -> Mesh:
+    """('stage','data','model') mesh over the first S*d*m devices."""
     devices = list(devices if devices is not None else jax.devices())
-    if len(devices) < n_stages:
-        raise ValueError(f"{n_stages} stages > {len(devices)} devices")
-    return Mesh(np.asarray(devices[:n_stages]), (STAGE_AXIS,))
+    need = n_stages * n_data * n_model
+    if len(devices) < need:
+        raise ValueError(f"{need} mesh slots > {len(devices)} devices")
+    return make_mesh(
+        n_model=n_model, n_data=n_data, n_stage=n_stages,
+        devices=devices[:need],
+    )
 
 
 def _block_forward(x, bp, n_head):
@@ -65,6 +80,14 @@ def _block_forward(x, bp, n_head):
     return x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
 
 
+def _default_n_micro(B: int, S: int) -> int:
+    """Largest microbatch count <= 2*S that divides the batch."""
+    for k in range(min(B, 2 * S), 0, -1):
+        if B % k == 0:
+            return k
+    return 1
+
+
 def encoder_forward_pp(
     params: dict,
     mel: jnp.ndarray,  # [B, n_mels, 3000]
@@ -72,26 +95,39 @@ def encoder_forward_pp(
     mesh: Mesh,
     n_micro: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Pipeline-parallel encoder forward over the ('stage',) mesh.
+    """Pipeline-parallel encoder forward over the 'stage' axis of ``mesh``.
 
     Numerically identical to models.whisper.encoder_forward; the batch is
-    cut into ``n_micro`` microbatches (default: 2 per stage) that flow
-    through the stages GPipe-style.
+    cut into ``n_micro`` microbatches that flow through the stages
+    GPipe-style.  Traceable (jit/pjit-safe): no device placement happens
+    here — params should be pre-placed with parallel.shard_params (which
+    stage-shards encoder blocks on a 3-axis mesh); shard_map's in_specs
+    reshard on the fly otherwise.  Partial-manual shard_map only lowers
+    under jit, so a concrete (eager) call routes through a jitted wrapper.
     """
+    if not isinstance(mel, jax.core.Tracer):
+        # validate static args eagerly so callers get a python error, not
+        # a traced one (e.g. layer count not divisible by stages)
+        S = mesh.shape[STAGE_AXIS]
+        if dims.n_audio_layer % S:
+            raise ValueError(
+                f"n_audio_layer={dims.n_audio_layer} not divisible by {S} stages"
+            )
+        return _encoder_forward_pp_jit(params, mel, dims, mesh, n_micro)
     S = mesh.shape[STAGE_AXIS]
     L = dims.n_audio_layer
     if L % S:
         raise ValueError(f"n_audio_layer={L} not divisible by {S} stages")
     B = mel.shape[0]
     if n_micro is None:
-        n_micro = min(B, 2 * S)
+        n_micro = _default_n_micro(B, S)
     if B % n_micro:
         raise ValueError(f"batch {B} not divisible by n_micro={n_micro}")
 
     enc = params["encoder"]
     n_head = dims.n_audio_head
 
-    # stem (replicated): conv1 + conv2 + sinusoid position table
+    # stem (stage-replicated): conv1 + conv2 + sinusoid position table
     x = mel.transpose(0, 2, 1)
     x = gelu(_conv1d_mm(x, enc["conv1"], stride=1))
     x = gelu(_conv1d_mm(x, enc["conv2"], stride=2))  # [B, 1500, D]
@@ -100,15 +136,16 @@ def encoder_forward_pp(
 
     mb = B // n_micro
     xs = x.reshape(n_micro, mb, x.shape[1], x.shape[2])
+    if DATA_AXIS in mesh.axis_names and mb % mesh.shape[DATA_AXIS] == 0:
+        # keep microbatches data-sharded so each stage's compute is DP'd
+        xs = lax.with_sharding_constraint(
+            xs, NamedSharding(mesh, P(None, DATA_AXIS, None, None))
+        )
 
-    # stage placement: shard stacked block leaves along L
     blocks = enc["blocks"]
-    block_sharding = jax.tree.map(
-        lambda leaf: NamedSharding(mesh, P(STAGE_AXIS, *([None] * (leaf.ndim - 1)))),
-        blocks,
-    )
-    blocks = jax.device_put(blocks, block_sharding)
-    xs = jax.device_put(xs, NamedSharding(mesh, P()))
+    # manual over 'stage' only: each leaf is split along its stacked L
+    # axis; 'data'/'model' shardings ride through under GSPMD (auto axes)
+    blocks_specs = jax.tree.map(lambda leaf: P(STAGE_AXIS), blocks)
 
     def stage_fn(blocks_local, xs_all):
         stage = lax.axis_index(STAGE_AXIS)
@@ -149,16 +186,31 @@ def encoder_forward_pp(
         )
         return outs
 
-    blocks_specs = jax.tree.map(
-        lambda leaf: P(STAGE_AXIS, *([None] * (leaf.ndim - 1))), blocks
-    )
-    outs = shard_map(
+    outs = jax.shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=(blocks_specs, P()),
         out_specs=P(),
+        axis_names=frozenset({STAGE_AXIS}),
         check_vma=False,
     )(blocks, xs)
 
     x = outs.reshape(B, dims.n_audio_ctx, dims.n_audio_state)
     return layer_norm(x, enc["ln_post"])
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "mesh", "n_micro"))
+def _encoder_forward_pp_jit(params, mel, dims, mesh, n_micro):
+    return encoder_forward_pp(params, mel, dims, mesh, n_micro=n_micro)
+
+
+def pp_encoder_fn(mesh: Mesh, n_micro: Optional[int] = None):
+    """(params, mel, dims) -> xa closure for DecodeTask(encoder_fn=...):
+    routes the decode window program's encoder forward through the
+    pipeline.  This is how PP reaches the drivers (CLI --pp,
+    BatchTranscriber, ServingEngine)."""
+
+    def fn(params, mel, dims):
+        return encoder_forward_pp(params, mel, dims, mesh, n_micro=n_micro)
+
+    return fn

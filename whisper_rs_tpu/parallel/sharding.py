@@ -29,7 +29,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, STAGE_AXIS
 
 
 def _spec_for_path(path: tuple, leaf) -> P:
@@ -74,10 +74,23 @@ def _spec_for_path(path: tuple, leaf) -> P:
 
 
 def param_shardings(mesh: Mesh, params: Any):
-    """NamedSharding pytree matching ``params`` (TP over the model axis)."""
+    """NamedSharding pytree matching ``params`` (TP over the model axis).
+
+    On a 3-axis ('stage','data','model') mesh the encoder block stack's
+    stacked [L, ...] leaves are additionally sharded along 'stage' —
+    placement IS the pipeline assignment (parallel/pipeline.py); decoder
+    blocks and all non-block leaves stay replicated across stages."""
+    pp = STAGE_AXIS in mesh.axis_names
 
     def to_sharding(path, leaf):
-        return NamedSharding(mesh, _spec_for_path(path, leaf))
+        spec = _spec_for_path(path, leaf)
+        if pp:
+            names = "/".join(
+                str(getattr(p, "key", getattr(p, "name", p))) for p in path
+            )
+            if names.startswith("encoder/blocks"):
+                spec = P(STAGE_AXIS, *tuple(spec)[1:])
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 

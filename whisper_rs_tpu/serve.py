@@ -164,6 +164,7 @@ class ServingEngine:
         batch_size: int = 8,
         compute_dtype=jnp.float32,
         max_queue: int = 1024,
+        encoder_fn=None,
     ):
         self.dims = dims
         self.tokenizer = tokenizer
@@ -172,9 +173,11 @@ class ServingEngine:
         self.max_queue = max_queue
         self._params = params
         self._compute_dtype = compute_dtype
+        self._encoder_fn = encoder_fn
         self.decode_task = DecodeTask(
             params, dims, tokenizer, options.decode, compute_dtype=compute_dtype,
             keep_audio_features=options.word_timestamps,
+            encoder_fn=encoder_fn,
         )
         self._sampling_task_cache: Optional[DecodeTask] = None
         self._aligner = None
@@ -365,6 +368,7 @@ class ServingEngine:
                 opts,
                 compute_dtype=self._compute_dtype,
                 keep_audio_features=self.options.word_timestamps,
+                encoder_fn=self._encoder_fn,
             )
         return self._sampling_task_cache
 

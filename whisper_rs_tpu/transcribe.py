@@ -205,15 +205,18 @@ class TranscribeTask:
         tokenizer: Tokenizer,
         options: TranscribeOptions = TranscribeOptions(),
         compute_dtype=jnp.float32,
+        encoder_fn=None,
     ):
         self.dims = dims
         self.tokenizer = tokenizer
         self.options = options
         self._params = params
         self._compute_dtype = compute_dtype
+        self._encoder_fn = encoder_fn
         self.decode_task = DecodeTask(
             params, dims, tokenizer, options.decode, compute_dtype=compute_dtype,
             keep_audio_features=options.word_timestamps,
+            encoder_fn=encoder_fn,
         )
         self._fallback_tasks: dict = {}
         self._aligner = None
@@ -252,6 +255,7 @@ class TranscribeTask:
                 opts,
                 compute_dtype=self._compute_dtype,
                 keep_audio_features=self.options.word_timestamps,
+                encoder_fn=self._encoder_fn,
             )
         return self._fallback_tasks["sampling"]
 
