@@ -214,6 +214,29 @@ def mha_self(
     """
     d_head = x_ln.shape[-1] // n_head
     scale = d_head**-0.5
+    if mask is None:
+        from ..ops.encoder_attention import encoder_pallas_mode
+
+        use_attn, _, interp = encoder_pallas_mode()
+        if use_attn and d_head == 64 and n_head % 2 == 0:
+            # merged-layout kernel: q/k/v straight from the projections
+            # and output straight into the out-projection — no
+            # [B,T,D] <-> [B,H,T,dh] head split/merge copies (3 × ~1.2
+            # ms/layer at large-v3-turbo b64, device trace r3)
+            from ..ops.encoder_attention_pallas import (
+                encoder_attention_merged,
+            )
+
+            out = encoder_attention_merged(
+                linear(x_ln, p["query"]),
+                linear(x_ln, p["key"]),
+                linear(x_ln, p["value"]),
+                n_head,
+                scale,
+                n_valid=n_valid,
+                interpret=interp,
+            )
+            return linear(out, p["out"])
     q = _split_heads(linear(x_ln, p["query"]), n_head)
     k = _split_heads(linear(x_ln, p["key"]), n_head)
     v = _split_heads(linear(x_ln, p["value"]), n_head)
@@ -288,21 +311,42 @@ def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndar
     # base.en b32 forward on v5e.  Pad rows stay isolated — LN/MLP are
     # row-local and the flash kernel segment-masks them (n_valid) — and are
     # sliced off at the end.
-    from ..ops.encoder_attention import flash_pad_to
+    from ..ops.encoder_attention import encoder_pallas_mode, flash_pad_to
 
     Tp = flash_pad_to(T)
     n_valid = T if Tp != T else None
     if Tp != T:
         x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
 
-    def block(x, bp):
-        x = x + mha_self(
-            layer_norm(x, bp["attn_ln"]), bp["attn"], n_head, None,
-            n_valid=n_valid,
-        )
-        h = layer_norm(x, bp["mlp_ln"])
-        x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
-        return x, None
+    _, use_fused_ln, ln_interp = encoder_pallas_mode()
+    if use_fused_ln:
+        # Fused residual+LN Pallas kernels: XLA lowers the per-block
+        # residual/LN chain as separate fusions that re-materialize
+        # [B, T, D] f32 intermediates (~2.3 ms/layer vs a ~0.3 ms traffic
+        # roofline at large-v3-turbo b16 — device trace r3).
+        from ..ops.encoder_fused import ln_fused, residual_ln
+
+        def block(x, bp):
+            a = ln_fused(
+                x, bp["attn_ln"]["scale"], bp["attn_ln"]["bias"],
+                interpret=ln_interp,
+            )
+            attn = mha_self(a, bp["attn"], n_head, None, n_valid=n_valid)
+            x, h = residual_ln(
+                x, attn, bp["mlp_ln"]["scale"], bp["mlp_ln"]["bias"],
+                interpret=ln_interp,
+            )
+            x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
+            return x, None
+    else:
+        def block(x, bp):
+            x = x + mha_self(
+                layer_norm(x, bp["attn_ln"]), bp["attn"], n_head, None,
+                n_valid=n_valid,
+            )
+            h = layer_norm(x, bp["mlp_ln"])
+            x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
+            return x, None
 
     x, _ = lax.scan(block, x, enc["blocks"])
     if Tp != T:

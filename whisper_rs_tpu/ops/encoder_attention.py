@@ -16,6 +16,7 @@ costs ~7 ms per base.en b32 forward on v5e.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -27,6 +28,28 @@ _PAD_TO = 128
 
 def _flash_available() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def encoder_pallas_mode() -> tuple:
+    """(use_custom_attention, use_fused_ln, interpret) for the encoder.
+
+    WHISPER_PALLAS_ENCODER: "auto" (default — both custom kernels on TPU,
+    nothing elsewhere), "attn"/"ln" (one component), "1" (both anywhere,
+    compiled), "0"/"flash" (stock flash attention + XLA LN),
+    "interpret" (both kernels interpreted — CPU parity tests)."""
+    env = os.environ.get("WHISPER_PALLAS_ENCODER", "auto")
+    if env == "interpret":
+        return True, True, True
+    if env == "1":
+        return True, True, False
+    if env == "attn":
+        return True, False, False
+    if env == "ln":
+        return False, True, False
+    if env in ("0", "flash"):
+        return False, False, False
+    on_tpu = _flash_available()
+    return on_tpu, on_tpu, False
 
 
 def flash_pad_to(T: int) -> int:
@@ -59,7 +82,19 @@ def encoder_attention(
     sm_scale: float,
     n_valid: Optional[int] = None,  # set when T is pre-padded; masks the tail
 ) -> jnp.ndarray:
-    """softmax(q k^T * sm_scale) v without materializing scores on TPU."""
+    """softmax(q k^T * sm_scale) v without materializing scores in HBM.
+
+    Routing: the custom single-pass kernel (encoder_attention_pallas.py)
+    by default on TPU — measured ~5% faster than the stock flash kernel
+    at whisper shapes and free of the flash streaming machinery; stock
+    flash via WHISPER_PALLAS_ENCODER=flash; plain einsum elsewhere."""
+    use_attn, _, interp = encoder_pallas_mode()
+    if use_attn and (q.shape[2] % 128 == 0 or interp):
+        from .encoder_attention_pallas import encoder_attention_pallas
+
+        return encoder_attention_pallas(
+            q, k, v, sm_scale, n_valid=n_valid, interpret=interp
+        )
     if not _flash_available():
         if n_valid is not None and n_valid < q.shape[2]:
             # mask the pad tail so results match the segment-masked kernel
