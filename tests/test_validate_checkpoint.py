@@ -83,6 +83,11 @@ def test_validate_checkpoint_one_liner(librispeech_dir, tiny_checkpoint, capsys)
     ):
         assert key in verdict, key
     assert verdict["n_utterances"] == 2
+    # OpenAI robustness recipe (temperature ladder + no-speech skip) is the
+    # default, so the first real-weights WER is comparable to published
+    # numbers (VERDICT r3 item #1); with random weights every window fails
+    # needs_fallback, so this smoke run rides the ladder to the last rung
+    assert verdict["recipe"] == "openai"
     assert 0.0 <= verdict["wer"]
     assert verdict["word_timing"]["n_segments"] >= 1
     # english-only vocab: language ID must be explicitly skipped, not broken

@@ -27,6 +27,15 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--quant", default=None, choices=["int8", "kv", "int8kv"])
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    # OpenAI robustness recipe — ON by default so the headline WER is
+    # comparable with OpenAI's published numbers (temperature fallback
+    # ladder + no-speech skip); --no-recipe reverts to the reference's
+    # single-pass behavior
+    ap.add_argument(
+        "--no-recipe", action="store_true",
+        help="disable the OpenAI recipe (temperature ladder "
+        "(0,.2,.4,.6,.8,1.0) + no_speech_threshold=0.6)",
+    )
     args = ap.parse_args(argv)
 
     from whisper_rs_tpu import (
@@ -51,7 +60,13 @@ def main(argv=None) -> int:
 
     tokenizer = Tokenizer(Task.TRANSCRIBE)
     mode = GreedyMode() if args.greedy else BeamSearchMode(beam_size=args.beam)
-    options = TranscribeOptions(decode=DecodeOptions(mode=mode))
+    recipe = {}
+    if not args.no_recipe:
+        recipe = dict(
+            temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+            no_speech_threshold=0.6,
+        )
+    options = TranscribeOptions(decode=DecodeOptions(mode=mode), **recipe)
 
     transcriber = BatchTranscriber(
         params, dims, tokenizer, options, batch_size=args.batch,

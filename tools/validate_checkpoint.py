@@ -144,6 +144,13 @@ def main(argv=None) -> int:
                     help="max ΔWER for int8 / int8-KV to pass (the gate "
                     "for defaulting quantization on)")
     ap.add_argument("--skip-quant", action="store_true")
+    # OpenAI robustness recipe — ON by default so the headline WER is
+    # comparable with OpenAI's published numbers
+    ap.add_argument(
+        "--no-recipe", action="store_true",
+        help="disable the OpenAI recipe (temperature ladder "
+        "(0,.2,.4,.6,.8,1.0) + no_speech_threshold=0.6)",
+    )
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -164,8 +171,14 @@ def main(argv=None) -> int:
     tokenizer = Tokenizer.for_dims(dims, Task.TRANSCRIBE, language=args.language)
 
     mode = GreedyMode() if args.greedy else BeamSearchMode(beam_size=args.beam)
+    recipe = {}
+    if not args.no_recipe:
+        recipe = dict(
+            temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+            no_speech_threshold=0.6,
+        )
     options = TranscribeOptions(
-        decode=DecodeOptions(mode=mode, sample_len=args.sample_len)
+        decode=DecodeOptions(mode=mode, sample_len=args.sample_len), **recipe
     )
 
     pairs = list(iter_librispeech(args.librispeech))
@@ -186,6 +199,7 @@ def main(argv=None) -> int:
         "n_utterances": len(pairs),
         "decode": "greedy" if args.greedy else f"beam{args.beam}",
         "dtype": args.dtype,
+        "recipe": "openai" if not args.no_recipe else "single-pass",
     }
 
     def progress(msg):

@@ -41,6 +41,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-condition-on-prev-text", action="store_true")
     p.add_argument("--initial-prompt", default=None)
+    p.add_argument(
+        "--temperatures", default=None,
+        help="comma-separated temperature fallback ladder (OpenAI recipe: "
+        "0,0.2,0.4,0.6,0.8,1.0); a window failing the quality checks "
+        "(compression ratio / avg logprob) is retried at the next rung. "
+        "Default: single pass at t=0 (reference behavior)",
+    )
+    p.add_argument(
+        "--no-speech-threshold", type=float, default=None,
+        help="skip a window as silence when no_speech_prob exceeds this "
+        "AND avg_logprob < --logprob-threshold (OpenAI recipe: 0.6). "
+        "Default: never skip (reference behavior)",
+    )
+    p.add_argument(
+        "--logprob-threshold", type=float, default=-1.0,
+        help="avg-logprob quality floor used by the temperature ladder "
+        "and the no-speech skip (OpenAI recipe: -1.0)",
+    )
+    p.add_argument(
+        "--compression-ratio-threshold", type=float, default=2.4,
+        help="zlib compression-ratio ceiling for the temperature ladder "
+        "(degenerate-repetition detector; OpenAI recipe: 2.4)",
+    )
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument(
         "--quant", default=None, choices=["int8"],
@@ -119,6 +142,15 @@ def main(argv=None) -> int:
         if args.greedy
         else BeamSearchMode(beam_size=args.beam, patience=args.patience)
     )
+    temperatures = None
+    if args.temperatures:
+        temperatures = tuple(
+            float(t) for t in args.temperatures.split(",") if t.strip()
+        )
+        if temperatures == (0.0,):
+            # single t=0 pass == reference behavior; None keeps the
+            # primary (beam-capable) task as the only executable
+            temperatures = None
     options = TranscribeOptions(
         decode=DecodeOptions(
             mode=mode,
@@ -130,6 +162,10 @@ def main(argv=None) -> int:
         initial_prompt_text=args.initial_prompt,
         condition_on_prev_text=not args.no_condition_on_prev_text,
         word_timestamps=args.word_timestamps,
+        temperatures=temperatures,
+        no_speech_threshold=args.no_speech_threshold,
+        logprob_threshold=args.logprob_threshold,
+        compression_ratio_threshold=args.compression_ratio_threshold,
     )
 
     def emit(path, out, detected):

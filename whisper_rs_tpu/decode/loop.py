@@ -180,8 +180,26 @@ class _GreedyState(NamedTuple):
     cache: KVCache
 
 
+def _sample_rows(rng, scaled_logits, group):
+    """Temperature-sample one token per row with BATCH-COMPOSITION-INVARIANT
+    noise: row r's key is folded by its within-group index (r % group) only,
+    so an utterance samples the same tokens whether it decodes alone or
+    shares a batch with others, and regardless of its row position.  This is
+    what makes the temperature-fallback ladder bit-identical across the
+    sequential / batch / serving drivers (a plain ``categorical`` over
+    [B, vocab] draws row noise from the flat element index, which shifts
+    with batch position).  Group members (best-of-N) still get independent
+    noise via the fold."""
+    keys = jax.vmap(lambda g: jax.random.fold_in(rng, g))(
+        jnp.arange(scaled_logits.shape[0], dtype=jnp.uint32) % group
+    )
+    return jax.vmap(
+        lambda k, l: jax.random.categorical(k, l, axis=-1)
+    )(keys, scaled_logits).astype(jnp.int32)
+
+
 def _greedy_update(logits, tokens, pos, sum_logprobs, finished, eot,
-                   temperature=0.0, rng=None):
+                   temperature=0.0, rng=None, group=1):
     """Greedy/sampling extractor semantics (greedy.rs:22-53 / OpenAI
     GreedyDecoder): argmax (or temperature-sample — the reference left this
     ``unimplemented!``, greedy.rs:27-29) next token; accumulate logprob only
@@ -191,15 +209,13 @@ def _greedy_update(logits, tokens, pos, sum_logprobs, finished, eot,
     serves the whole fallback ladder (0.2, 0.4, ...) instead of one
     compile per rung (round-1 serving-latency foot-gun)."""
     if isinstance(temperature, jnp.ndarray):
-        sampled = jax.random.categorical(
-            rng, logits / jnp.maximum(temperature, 1e-6), axis=-1
-        ).astype(jnp.int32)
+        sampled = _sample_rows(
+            rng, logits / jnp.maximum(temperature, 1e-6), group
+        )
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         next_tok = jnp.where(temperature > 0.0, sampled, greedy)
     elif temperature and temperature > 0.0:
-        next_tok = jax.random.categorical(
-            rng, logits / temperature, axis=-1
-        ).astype(jnp.int32)
+        next_tok = _sample_rows(rng, logits / temperature, group)
     else:
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logprobs = _log_softmax(logits)
@@ -249,15 +265,19 @@ def decode_greedy(
     n_audio = B // group
 
     def step_rng(pos):
+        # fold by the STEP index (pos - sample_begin), not the absolute
+        # position: the prefill bucket (and with it sample_begin) depends
+        # on the longest prompt in the batch, so absolute positions are not
+        # batch-composition-invariant — step indices are (see _sample_rows)
         if traced_temp or temperature > 0.0:
-            return jax.random.fold_in(rng_key, pos)
+            return jax.random.fold_in(rng_key, pos - sample_begin)
         return None
 
     sum_lp = jnp.zeros((B,), jnp.float32)
     finished = jnp.zeros((B,), bool)
     tokens, sum_lp, finished = _greedy_update(
         first_logits, tokens, sample_begin, sum_lp, finished, eot,
-        temperature, step_rng(sample_begin),
+        temperature, step_rng(sample_begin), group,
     )
 
     init = _GreedyState(
@@ -312,7 +332,7 @@ def decode_greedy(
             )
             tokens, sum_lp, finished = _greedy_update(
                 logits, st.tokens, st.pos, st.sum_logprobs, st.finished, eot,
-                temperature, step_rng(st.pos),
+                temperature, step_rng(st.pos), group,
             )
             return _GreedyState(
                 st.step + 1, st.pos + 1, tokens, sum_lp, finished, cache

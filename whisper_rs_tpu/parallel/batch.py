@@ -31,6 +31,7 @@ from ..transcribe import (
     QUANTUM,
     TranscribeOutput,
     TranscribeSegment,
+    needs_fallback,
     process_window_result,
     should_skip_no_speech,
 )
@@ -44,6 +45,9 @@ class _UttState:
     segments: List[TranscribeSegment] = dataclasses.field(default_factory=list)
     avg_logprobs: List[float] = dataclasses.field(default_factory=list)
     no_speech_probs: List[float] = dataclasses.field(default_factory=list)
+    # current temperature-ladder rung: a window failing needs_fallback is
+    # re-decoded at the next rung with the seek held (serve.py:_advance)
+    temp_idx: int = 0
     error: Optional[Exception] = None
 
     @property
@@ -66,11 +70,15 @@ class BatchTranscriber:
         self.tokenizer = tokenizer
         self.options = options
         self.batch_size = batch_size
+        self._params = params
+        self._compute_dtype = compute_dtype
+        self._encoder_fn = encoder_fn
         self.decode_task = DecodeTask(
             params, dims, tokenizer, options.decode, compute_dtype=compute_dtype,
             keep_audio_features=options.word_timestamps,
             encoder_fn=encoder_fn,
         )
+        self._sampling_task_cache: Optional[DecodeTask] = None
         self._aligner = None
         if options.word_timestamps:
             from ..decode.align import WordAligner
@@ -79,6 +87,38 @@ class BatchTranscriber:
                 params, dims, tokenizer, compute_dtype=compute_dtype,
                 alignment_heads=options.alignment_heads,
             )
+
+    def _sampling_task(self) -> DecodeTask:
+        """Shared best-of-N sampling task for every t>0 rung of the
+        temperature ladder (one executable; the temperature is a traced
+        scalar passed at run time — transcribe.py:_sampling_task)."""
+        if self._sampling_task_cache is None:
+            from ..config import BeamSearchMode, GreedyMode
+
+            base_mode = self.options.decode.mode
+            n = (
+                base_mode.beam_size
+                if isinstance(base_mode, BeamSearchMode)
+                else getattr(base_mode, "group_size", 1) or 1
+            )
+            opts = dataclasses.replace(
+                self.options.decode, mode=GreedyMode(group_size=max(n, 1))
+            )
+            task = DecodeTask(
+                self._params,
+                self.dims,
+                self.tokenizer,
+                opts,
+                compute_dtype=self._compute_dtype,
+                keep_audio_features=self.options.word_timestamps,
+                encoder_fn=self._encoder_fn,
+            )
+            # inherit post-construction toggles set on the primary task
+            # (eval_wer.py sets decode_task.quantize_kv directly)
+            if getattr(self.decode_task, "quantize_kv", False):
+                task.quantize_kv = True
+            self._sampling_task_cache = task
+        return self._sampling_task_cache
 
     def run(
         self, audios: Sequence[np.ndarray], raise_on_error: bool = True
@@ -107,59 +147,91 @@ class BatchTranscriber:
             mel = np.asarray(log_mel_file(audio, self.dims.n_mels))
             states.append(_UttState(mel=mel, tokens=list(init_tokens)))
 
+        ladder = opts.temperatures or (0.0,)
         while True:
             active = [i for i, s in enumerate(states) if not s.done]
             if not active:
                 break
             chunk = active[: self.batch_size]
 
-            windows = []
-            prompts: List[Optional[List[int]]] = []
+            # group rows by their current temperature-ladder rung — rows at
+            # different rungs cannot share a decode call because the
+            # temperature is one traced scalar per batch (serve.py:
+            # _decode_round).  With no ladder everything lands in one group
+            # and this is the plain lockstep round.
+            groups: dict = {}  # temp key (None = primary task) -> [utt idx]
+            for i in chunk:
+                t = ladder[min(states[i].temp_idx, len(ladder) - 1)]
+                key = (
+                    None
+                    if (opts.temperatures is None or t == 0.0)
+                    else float(t)
+                )
+                groups.setdefault(key, []).append(i)
+
+            results_by_utt: dict = {}
+            for key, group in groups.items():
+                task = self.decode_task if key is None else self._sampling_task()
+                windows = []
+                prompts: List[Optional[List[int]]] = []
+                for i in group:
+                    s = states[i]
+                    windows.append(
+                        np.asarray(
+                            pad_or_trim(jnp.asarray(s.mel[:, s.seek :]), N_FRAMES)
+                        )
+                    )
+                    prompts.append(s.tokens if condition else None)
+
+                # pad the batch with repeats to the static batch size so the
+                # decode graph compiles once: as utterances retire
+                # (8->5->3->1) shapes stay [batch_size, ...]; padded rows
+                # are dropped below because results are indexed by group
+                n_real = len(windows)
+                while len(windows) < self.batch_size:
+                    windows.append(windows[-1])
+                    prompts.append(prompts[-1])
+
+                try:
+                    results = task.run_batch(
+                        np.stack(windows, axis=0), prompts, temperature=key
+                    )
+                except Exception:
+                    # batch failed: retry each utterance alone so one
+                    # poisoned input can't take down its batchmates
+                    # (per-utterance error isolation — the reference aborts
+                    # the whole run on any error, SURVEY §5
+                    # failure-detection row)
+                    results = []
+                    for w, p in zip(windows[:n_real], prompts[:n_real]):
+                        try:
+                            results.append(
+                                task.run_batch(
+                                    w[None], [p], temperature=key
+                                )[0]
+                            )
+                        except Exception as e:
+                            results.append(e)
+                for i, r in zip(group, results):
+                    results_by_utt[i] = r
+
             for i in chunk:
                 s = states[i]
-                windows.append(
-                    np.asarray(pad_or_trim(jnp.asarray(s.mel[:, s.seek :]), N_FRAMES))
-                )
-                prompts.append(s.tokens if condition else None)
-
-            # pad the batch with repeats to the static batch size so the
-            # decode graph compiles once: as utterances retire (8->5->3->1)
-            # shapes stay [batch_size, ...]; padded rows are dropped below
-            # because results are indexed by enumerate(chunk)
-            while len(windows) < self.batch_size:
-                windows.append(windows[-1])
-                prompts.append(prompts[-1])
-
-            try:
-                results = self.decode_task.run_batch(
-                    np.stack(windows, axis=0), prompts
-                )
-            except Exception:
-                # batch failed: retry each utterance alone so one poisoned
-                # input can't take down its batchmates (per-utterance error
-                # isolation — the reference aborts the whole run on any
-                # error, SURVEY §5 failure-detection row)
-                results = []
-                for w, p in zip(windows, prompts):
-                    try:
-                        results.append(
-                            self.decode_task.run_batch(w[None], [p])[0]
-                        )
-                    except Exception as e:
-                        results.append(e)
-                for j, i in enumerate(chunk):
-                    if isinstance(results[j], Exception):
-                        states[i].error = results[j]
-                results = [
-                    r for r in results if not isinstance(r, Exception)
-                ]
-                chunk = [i for i in chunk if states[i].error is None]
-                if not chunk:
+                r = results_by_utt[i]
+                if isinstance(r, Exception):
+                    s.error = r
                     continue
-
-            for j, i in enumerate(chunk):
-                s = states[i]
-                r = results[j]
+                if (
+                    opts.temperatures is not None
+                    and s.temp_idx < len(ladder) - 1
+                    and needs_fallback(opts, r.text, r.avg_logprob)
+                ):
+                    # retry the SAME window at the next rung next round;
+                    # the seek does not advance and nothing is recorded
+                    # for this attempt (serve.py:_advance)
+                    s.temp_idx += 1
+                    continue
+                s.temp_idx = 0
                 s.avg_logprobs.append(r.avg_logprob)
                 s.no_speech_probs.append(r.no_speech_prob)
                 if should_skip_no_speech(opts, r.no_speech_prob, r.avg_logprob):
