@@ -25,6 +25,78 @@ def test_linear_dequant_epilogue():
     np.testing.assert_allclose(got, x @ w, rtol=0.02, atol=0.02)
 
 
+def test_linear_int8_act_matmul(monkeypatch):
+    """WHISPER_INT8_MATMUL=1: the s8×s8→s32 path (dynamic per-row
+    activation scales) tracks the float matmul and the weight-only path."""
+    monkeypatch.setenv("WHISPER_INT8_MATMUL", "1")
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((64, 48)).astype(np.float32) * 0.3
+    b = rng.standard_normal(48).astype(np.float32) * 0.1
+    x = rng.standard_normal((3, 5, 64)).astype(np.float32)
+    from whisper_rs_tpu.models.quantize import _quantize_linear
+
+    q = _quantize_linear({"w": jnp.asarray(w), "b": jnp.asarray(b)})
+    got = np.asarray(linear(jnp.asarray(x), q))
+    want = x @ w + b
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+    # row with extreme dynamic range: per-row scales keep small rows exact-ish
+    x2 = x.copy()
+    x2[0, 0] *= 100.0
+    got2 = np.asarray(linear(jnp.asarray(x2), q))
+    want2 = x2 @ w + b
+    np.testing.assert_allclose(
+        got2[1:], want2[1:], rtol=0.05, atol=0.05
+    )  # other rows unaffected by row 0's range
+
+
+def test_int8_matmul_encoder_close(monkeypatch):
+    """Full encoder with int8×int8 matmuls vs the weight-only int8 path:
+    activation quantization adds only per-row rounding noise."""
+    params = init_params(jax.random.PRNGKey(3), DIMS)
+    qparams = quantize_params(params)
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.3)
+
+    w8 = np.asarray(encoder_forward(qparams, mel, DIMS))
+    monkeypatch.setenv("WHISPER_INT8_MATMUL", "1")
+    i8 = np.asarray(encoder_forward(qparams, mel, DIMS))
+    denom = np.maximum(np.abs(w8).max(), 1e-3)
+    assert np.abs(i8 - w8).max() / denom < 0.1
+
+
+def test_int8_matmul_sharded_compose(monkeypatch):
+    """int8×int8 matmuls compose with TP=2 sharding on the fake mesh:
+    the quantize scales shard with their output channels and the sharded
+    encoder matches the unsharded int8-act encoder."""
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs the 8-device fake mesh (single real chip)")
+    from whisper_rs_tpu.parallel import batch_sharding, make_mesh, shard_params
+
+    monkeypatch.setenv("WHISPER_INT8_MATMUL", "1")
+    qparams = quantize_params(init_params(jax.random.PRNGKey(12), DIMS))
+    rng = np.random.default_rng(13)
+    mel = jnp.asarray(rng.standard_normal((4, 80, 3000)).astype(np.float32) * 0.3)
+
+    single = np.asarray(encoder_forward(qparams, mel, DIMS))
+    mesh = make_mesh(n_model=2)
+    with jax.set_mesh(mesh):
+        sp = shard_params(mesh, qparams)
+        mel_s = jax.device_put(mel, batch_sharding(mesh, 3))
+        sharded = np.asarray(
+            jax.jit(lambda p, m: encoder_forward(p, m, DIMS))(sp, mel_s)
+        )
+    # not bit-exact: TP changes f32 summation order, and activations near
+    # a rounding boundary flip a whole int8 step (~1/127) — so a small
+    # fraction of elements moves by one quantization step while the rest
+    # match tightly
+    close = np.isclose(sharded, single, rtol=2e-4, atol=2e-4)
+    assert close.mean() > 0.97, close.mean()
+    np.testing.assert_allclose(sharded, single, rtol=0.05, atol=0.05)
+
+
 def test_quantized_forward_close():
     params = init_params(jax.random.PRNGKey(0), DIMS)
     qparams = quantize_params(params)

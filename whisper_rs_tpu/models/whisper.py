@@ -95,12 +95,51 @@ def layer_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def _int8_matmul_enabled() -> bool:
+    """WHISPER_INT8_MATMUL=1: run int8-weight linears as int8×int8 MXU
+    matmuls (dynamic per-row activation quantization) instead of casting
+    the weights up to bf16.  The v5e MXU runs s8×s8→s32 at 2× its bf16
+    rate (~394 vs ~197 TOPs), so compute-bound encoder matmuls (fc1/fc2/
+    projections) can double their roofline.  Default OFF pending the
+    real-weights accuracy gate (tools/validate_checkpoint.py --quant-gate,
+    same contract as int8-KV)."""
+    import os
+
+    return os.environ.get("WHISPER_INT8_MATMUL", "0") == "1"
+
+
+def _linear_int8_act(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """int8×int8 matmul with dynamic per-row activation scales.
+
+    y = (q(x) @ w_q) * s_x * s_w + b, where q(x) rounds each row of x to
+    int8 at scale s_x = amax(|row|)/127.  The s8×s8 dot accumulates in
+    int32 on the MXU; both scales fold into the f32 epilogue.  Reference
+    MLP seam: model.rs:279-292."""
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    acc = lax.dot_general(
+        xq,
+        p["w"],
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s_x * p["s"].astype(jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """x @ W (+ b); weights cast to x.dtype (model.rs:25-33).
 
     int8 weight-only quantization (models/quantize.py) adds a per-output-
     channel scale leaf ``"s"``: the weight is stored int8 (half the HBM
-    stream of bf16) and dequantized in the matmul epilogue."""
+    stream of bf16) and dequantized in the matmul epilogue.  With
+    WHISPER_INT8_MATMUL=1 the activations are ALSO quantized (per row,
+    dynamic) and the dot runs s8×s8→s32 on the MXU at 2× the bf16 rate."""
+    if "s" in p and p["w"].ndim == 2 and _int8_matmul_enabled():
+        return _linear_int8_act(x, p)
     y = x @ p["w"].astype(x.dtype)
     if "s" in p:
         y = y * p["s"].astype(x.dtype)
@@ -289,34 +328,28 @@ def _conv1d_mm(x_nlc: jnp.ndarray, p: dict, stride: int) -> jnp.ndarray:
     return y + p["b"].astype(x_nlc.dtype)
 
 
-def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndarray:
-    """[B, n_mels, 3000] log-mel -> [B, 1500, n_state] audio features.
-
-    conv1(k3,p1)+gelu, conv2(k3,s2,p1)+gelu, +sinusoid pos-emb, N self-attn
-    blocks, post-LN (model.rs:417-441).
-    """
-    enc = params["encoder"]
-    # feature-last layout + conv-as-matmul stem (MXU path; see _conv1d_mm)
-    x = mel.transpose(0, 2, 1)  # [B, 3000, n_mels]
-    x = gelu(_conv1d_mm(x, enc["conv1"], stride=1))
-    x = gelu(_conv1d_mm(x, enc["conv2"], stride=2))  # [B, 1500, D]
-    pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state), dtype=x.dtype)
-    x = x + pos
-
-    n_head = dims.n_audio_head
-    T = dims.n_audio_ctx
-
-    # Pad ONCE to the flash kernel's 128-multiple here instead of per layer:
-    # pad/unpad of three [B, T, D] tensors inside every block costs ~7 ms per
-    # base.en b32 forward on v5e.  Pad rows stay isolated — LN/MLP are
-    # row-local and the flash kernel segment-masks them (n_valid) — and are
-    # sliced off at the end.
-    from ..ops.encoder_attention import encoder_pallas_mode, flash_pad_to
+def encoder_pad_once(x: jnp.ndarray, T: int):
+    """Pad the [B, T, D] activation ONCE to the flash kernel's 128-multiple
+    instead of per layer: pad/unpad of three [B, T, D] tensors inside every
+    block costs ~7 ms per base.en b32 forward on v5e.  Pad rows stay
+    isolated — LN/MLP are row-local and the flash kernel segment-masks them
+    (n_valid) — and are sliced off at the end.  Returns (x, n_valid, Tp)."""
+    from ..ops.encoder_attention import flash_pad_to
 
     Tp = flash_pad_to(T)
     n_valid = T if Tp != T else None
     if Tp != T:
         x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    return x, n_valid, Tp
+
+
+def encoder_block_fn(n_head: int, n_valid: Optional[int]):
+    """The encoder residual block (model.rs:384-394) as a shared
+    ``block(x, bp) -> x`` closure — used by BOTH encoder_forward's scan and
+    the pipeline-parallel stage (parallel/pipeline.py), so PP runs
+    line-for-line the same kernels (fused residual/LN + merged-layout
+    attention with pad-once masking) as the single-device encoder."""
+    from ..ops.encoder_attention import encoder_pallas_mode
 
     _, use_fused_ln, ln_interp = encoder_pallas_mode()
     if use_fused_ln:
@@ -336,8 +369,7 @@ def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndar
                 x, attn, bp["mlp_ln"]["scale"], bp["mlp_ln"]["bias"],
                 interpret=ln_interp,
             )
-            x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
-            return x, None
+            return x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
     else:
         def block(x, bp):
             x = x + mha_self(
@@ -345,10 +377,30 @@ def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndar
                 n_valid=n_valid,
             )
             h = layer_norm(x, bp["mlp_ln"])
-            x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
-            return x, None
+            return x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
 
-    x, _ = lax.scan(block, x, enc["blocks"])
+    return block
+
+
+def encoder_forward(params: dict, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndarray:
+    """[B, n_mels, 3000] log-mel -> [B, 1500, n_state] audio features.
+
+    conv1(k3,p1)+gelu, conv2(k3,s2,p1)+gelu, +sinusoid pos-emb, N self-attn
+    blocks, post-LN (model.rs:417-441).
+    """
+    enc = params["encoder"]
+    # feature-last layout + conv-as-matmul stem (MXU path; see _conv1d_mm)
+    x = mel.transpose(0, 2, 1)  # [B, 3000, n_mels]
+    x = gelu(_conv1d_mm(x, enc["conv1"], stride=1))
+    x = gelu(_conv1d_mm(x, enc["conv2"], stride=2))  # [B, 1500, D]
+    pos = jnp.asarray(sinusoids(dims.n_audio_ctx, dims.n_audio_state), dtype=x.dtype)
+    x = x + pos
+
+    T = dims.n_audio_ctx
+    x, n_valid, Tp = encoder_pad_once(x, T)
+    block = encoder_block_fn(dims.n_audio_head, n_valid)
+
+    x, _ = lax.scan(lambda c, bp: (block(c, bp), None), x, enc["blocks"])
     if Tp != T:
         x = x[:, :T]
     return layer_norm(x, enc["ln_post"])
