@@ -79,6 +79,7 @@ def test_validate_checkpoint_one_liner(librispeech_dir, tiny_checkpoint, capsys)
     for key in (
         "wer", "wer_ok", "wer_int8", "delta_wer_int8", "int8_ok",
         "wer_int8_kv", "delta_wer_int8_kv", "int8_kv_ok",
+        "wer_int8_matmul", "delta_wer_int8_matmul", "int8_matmul_ok",
         "word_timing", "language_id", "audio_s_per_s", "ok",
     ):
         assert key in verdict, key

@@ -31,6 +31,10 @@ def main():
     dtype = jnp.bfloat16
 
     params = init_params(jax.random.PRNGKey(0), dims, dtype=dtype)
+    if "int8" in sys.argv[4:]:
+        from whisper_rs_tpu.models.quantize import quantize_params
+
+        params = quantize_params(params)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(
         (rng.standard_normal((B, dims.n_mels, 3000)) * 0.3).astype(np.float32)

@@ -10,9 +10,10 @@ been blocked on them should fall in minutes, not a round:
 Runs, against any OpenAI `.pt` or HF checkpoint (auto-detected):
 
   1. LibriSpeech WER at the compute dtype (the BASELINE headline);
-  2. int8 weight-only WER and int8-KV WER — the ΔWER numbers are THE gate
-     for defaulting quantization on (README quotes int8 throughput with
-     accuracy unvalidated until this passes);
+  2. int8 weight-only WER, int8-KV WER, and int8x8-matmul WER
+     (WHISPER_INT8_MATMUL=1, dynamic activation quantization) — the ΔWER
+     numbers are THE gate for defaulting quantization on (README quotes
+     int8 throughput with accuracy unvalidated until this passes);
   3. word-timestamp alignment sanity on a real utterance (words present,
      non-empty, monotone, inside the audio span);
   4. language-ID smoke (multilingual checkpoints only): top language +
@@ -37,7 +38,32 @@ import time
 
 
 def _run_wer(params, dims, tokenizer, options, pairs, batch, dtype,
-             quantize_kv=False):
+             quantize_kv=False, int8_matmul=False):
+    import os
+
+    from whisper_rs_tpu.audio.io import load_audio
+    from whisper_rs_tpu.parallel.batch import BatchTranscriber
+    from whisper_rs_tpu.utils import wer
+
+    if int8_matmul:
+        # s8xs8 MXU matmuls (dynamic activation quantization): read at
+        # trace time by models.whisper.linear — the fresh BatchTranscriber
+        # below traces under it
+        os.environ["WHISPER_INT8_MATMUL"] = "1"
+    try:
+        return _run_wer_inner(
+            params, dims, tokenizer, options, pairs, batch, dtype,
+            quantize_kv,
+        )
+    finally:
+        if int8_matmul:
+            os.environ.pop("WHISPER_INT8_MATMUL", None)
+
+
+def _run_wer_inner(params, dims, tokenizer, options, pairs, batch, dtype,
+                   quantize_kv=False):
+    import time
+
     from whisper_rs_tpu.audio.io import load_audio
     from whisper_rs_tpu.parallel.batch import BatchTranscriber
     from whisper_rs_tpu.utils import wer
@@ -213,6 +239,7 @@ def main(argv=None) -> int:
 
     if args.skip_quant:
         verdict["int8_ok"] = verdict["int8_kv_ok"] = None
+        verdict["int8_matmul_ok"] = None
     else:
         from whisper_rs_tpu.models.quantize import quantize_params
 
@@ -234,6 +261,15 @@ def main(argv=None) -> int:
         verdict["delta_wer_int8_kv"] = round(wer_qkv - wer0, 4)
         verdict["int8_kv_ok"] = (wer_qkv - wer0) <= args.quant_gate
 
+        progress("[2/4] WER int8x8 matmuls (WHISPER_INT8_MATMUL=1) ...")
+        wer_mm, _ = _run_wer(
+            qparams, dims, tokenizer, options, pairs, args.batch, dtype,
+            int8_matmul=True,
+        )
+        verdict["wer_int8_matmul"] = round(wer_mm, 4)
+        verdict["delta_wer_int8_matmul"] = round(wer_mm - wer0, 4)
+        verdict["int8_matmul_ok"] = (wer_mm - wer0) <= args.quant_gate
+
     progress("[3/4] word-timestamp alignment sanity ...")
     verdict["word_timing"] = _word_timing_sanity(
         params, dims, tokenizer, options, pairs[0][0], dtype
@@ -246,7 +282,11 @@ def main(argv=None) -> int:
 
     gates = [verdict["wer_ok"], verdict["word_timing"]["ok"]]
     if verdict.get("int8_ok") is not None:
-        gates += [verdict["int8_ok"], verdict["int8_kv_ok"]]
+        gates += [
+            verdict["int8_ok"],
+            verdict["int8_kv_ok"],
+            verdict["int8_matmul_ok"],
+        ]
     if "ok" in verdict["language_id"]:
         gates.append(verdict["language_id"]["ok"])
     verdict["ok"] = all(gates)

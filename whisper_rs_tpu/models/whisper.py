@@ -108,16 +108,20 @@ def _int8_matmul_enabled() -> bool:
     return os.environ.get("WHISPER_INT8_MATMUL", "0") == "1"
 
 
-def _linear_int8_act(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """int8×int8 matmul with dynamic per-row activation scales.
-
-    y = (q(x) @ w_q) * s_x * s_w + b, where q(x) rounds each row of x to
-    int8 at scale s_x = amax(|row|)/127.  The s8×s8 dot accumulates in
-    int32 on the MXU; both scales fold into the f32 epilogue.  Reference
-    MLP seam: model.rs:279-292."""
+def _quantize_rows(x: jnp.ndarray):
+    """Dynamic per-row int8 activation quantization: (x_q, s_x) with
+    s_x = amax(|row|)/127.  The amax reduce + round is one full pass over
+    the activation tensor, so callers with several int8 matmuls on the SAME
+    input (the q/k/v projections) should quantize once and share."""
     xf = x.astype(jnp.float32)
     s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    return xq, s_x
+
+
+def _int8_dot(xq: jnp.ndarray, s_x: jnp.ndarray, p: dict, out_dtype) -> jnp.ndarray:
+    """s8×s8→s32 MXU dot on pre-quantized activations; scales fold into
+    the f32 epilogue."""
     acc = lax.dot_general(
         xq,
         p["w"],
@@ -127,7 +131,37 @@ def _linear_int8_act(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     y = acc.astype(jnp.float32) * s_x * p["s"].astype(jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype)
+
+
+def _linear_int8_act(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """int8×int8 matmul with dynamic per-row activation scales.
+
+    y = (q(x) @ w_q) * s_x * s_w + b, where q(x) rounds each row of x to
+    int8 at scale s_x = amax(|row|)/127.  The s8×s8 dot accumulates in
+    int32 on the MXU; both scales fold into the f32 epilogue.  Reference
+    MLP seam: model.rs:279-292."""
+    xq, s_x = _quantize_rows(x)
+    return _int8_dot(xq, s_x, p, x.dtype)
+
+
+def _int8_qkv(x_ln: jnp.ndarray, p: dict):
+    """q/k/v projections as three int8 dots sharing ONE activation
+    quantization of x_ln (saves two full amax+round passes per layer), or
+    None when the int8x8 path does not apply to these params."""
+    if not (
+        _int8_matmul_enabled()
+        and all(
+            name in p and "s" in p[name] and p[name]["w"].ndim == 2
+            for name in ("query", "key", "value")
+        )
+    ):
+        return None
+    xq, s_x = _quantize_rows(x_ln)
+    return tuple(
+        _int8_dot(xq, s_x, p[name], x_ln.dtype)
+        for name in ("query", "key", "value")
+    )
 
 
 def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
@@ -253,6 +287,7 @@ def mha_self(
     """
     d_head = x_ln.shape[-1] // n_head
     scale = d_head**-0.5
+    qkv = _int8_qkv(x_ln, p)  # shared activation quantization (int8x8 mode)
     if mask is None:
         from ..ops.encoder_attention import encoder_pallas_mode
 
@@ -266,19 +301,21 @@ def mha_self(
                 encoder_attention_merged,
             )
 
-            out = encoder_attention_merged(
+            qm, km, vm = qkv if qkv is not None else (
                 linear(x_ln, p["query"]),
                 linear(x_ln, p["key"]),
                 linear(x_ln, p["value"]),
-                n_head,
-                scale,
-                n_valid=n_valid,
-                interpret=interp,
+            )
+            out = encoder_attention_merged(
+                qm, km, vm, n_head, scale, n_valid=n_valid, interpret=interp,
             )
             return linear(out, p["out"])
-    q = _split_heads(linear(x_ln, p["query"]), n_head)
-    k = _split_heads(linear(x_ln, p["key"]), n_head)
-    v = _split_heads(linear(x_ln, p["value"]), n_head)
+    if qkv is not None:
+        q, k, v = (_split_heads(t, n_head) for t in qkv)
+    else:
+        q = _split_heads(linear(x_ln, p["query"]), n_head)
+        k = _split_heads(linear(x_ln, p["key"]), n_head)
+        v = _split_heads(linear(x_ln, p["value"]), n_head)
     if mask is None:
         from ..ops.encoder_attention import encoder_attention
 
