@@ -64,6 +64,71 @@ def test_self_attention_kernel_oracle():
             )
 
 
+def test_self_attention_fused_kernel_oracle():
+    """Ctx-major fused-self kernel (both planes in V's layout) vs a NumPy
+    oracle — the r4 greedy-step kernel whose cache column writes stay
+    in-place sublane writes."""
+    from whisper_rs_tpu.ops.decode_attention import self_attention_fused_step
+
+    rng = np.random.default_rng(3)
+    L, B, H, W, dh = 3, 4, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, H, dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((L, B, H, W, dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((L, B, H, W, dh)).astype(np.float32))
+    pos, lyr = 10, 2
+    ks = np.asarray([0, 2, 0, 5], np.int32)
+
+    got = np.asarray(
+        self_attention_fused_step(
+            q, k, v, jnp.int32(lyr), jnp.int32(pos), jnp.asarray(ks),
+            window=W, interpret=True,
+        )
+    )
+    ids = np.arange(W)
+    for b in range(B):
+        vis = (ids <= pos) & (ids >= ks[b])
+        for h in range(H):
+            qk = np.asarray(q[b, h]) @ np.asarray(k[lyr, b, h]).T
+            qk = np.where(vis, qk, -1e9)
+            e = np.exp(qk - qk.max())
+            w = e / e.sum()
+            np.testing.assert_allclose(
+                got[b, h], w @ np.asarray(v[lyr, b, h]), rtol=1e-5, atol=1e-5
+            )
+
+
+def test_greedy_decode_fused_self_exact(monkeypatch):
+    """Full greedy decode with WHISPER_FUSED_SELF=interpret (ctx-major
+    cache + kernel) produces bit-identical tokens to the XLA path —
+    prompted rows (key_start) included."""
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    cfg = FilterConfig(
+        n_vocab=1000, token_id_eot=500, token_id_space=7,
+        token_id_ts_begin=600, token_id_no_timestamps=599,
+    )
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.3)
+    # end-aligned per-row prompts: row 0 unprompted (key_start 2), row 1
+    # prompted
+    initial = jnp.asarray([[0, 0, 501], [503, 9, 501]], np.int32)
+    key_start = jnp.asarray([2, 0], np.int32)
+
+    def run():
+        return np.asarray(
+            decode_greedy(
+                params, mel, initial, jnp.int32(3), jnp.int32(2), DIMS, cfg,
+                GreedyMode(), 8, no_speech_id=502,
+                key_start=key_start,
+            ).candidates
+        )
+
+    monkeypatch.setenv("WHISPER_FUSED_SELF", "0")
+    ref = run()
+    monkeypatch.setenv("WHISPER_FUSED_SELF", "interpret")
+    got = run()
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_cross_attention_kernel_oracle_int8():
     rng = np.random.default_rng(1)
     L, A, G, H, Tk, dh = 2, 2, 3, 2, 32, 16

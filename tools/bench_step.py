@@ -57,11 +57,28 @@ def main():
             packed = pack_block_params(params["decoder"]["blocks"])
             cache = cache._replace(k=cache.k.swapaxes(-1, -2))
 
+        from whisper_rs_tpu.models.whisper import decode_kernel_modes
+
+        use_mlp, mlp_interp, kv_fused, fs_interp = decode_kernel_modes(
+            dims, B
+        )
+        packed_mlp = None
+        if use_mlp and not fused:
+            from whisper_rs_tpu.ops.decoder_mlp_fused import pack_mlp_params
+
+            packed_mlp = pack_mlp_params(params["decoder"]["blocks"])
+
+        kv_fused = kv_fused and not fused
+        if kv_fused:
+            cache = cache._replace(k=cache.k.swapaxes(-1, -2))
+
         def body(i, state):
             tokens, cache, acc = state
             logits, cache = decoder_forward(
                 params, tokens, i, cross_kv, cache, dims, packed=packed,
-                k_ctx_major=fused,
+                k_ctx_major=fused, packed_mlp=packed_mlp,
+                mlp_interpret=mlp_interp, kv_fused=kv_fused,
+                fused_self_interpret=fs_interp,
             )
             nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
             return nxt[:, None] % dims.n_vocab, cache, acc + jnp.sum(logits[:, 0, :8])

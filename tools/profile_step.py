@@ -71,17 +71,28 @@ def main():
         max_initial_timestamp_index=50,
     )
 
+    from whisper_rs_tpu.models.whisper import decode_kernel_modes
+
+    use_mlp, mlp_interp, _, _ = decode_kernel_modes(dims, B)
+
     def make_loop(with_filters: bool, with_update: bool):
         def run(params, xa):
             cross_kv = precompute_cross_kv(params, xa, dims)
             cache = KVCache.init(dims, B, dtype=dtype)
             tokens = jnp.zeros((B, dims.n_text_ctx), jnp.int32)
 
+            packed_mlp = None
+            if use_mlp:
+                from whisper_rs_tpu.ops.decoder_mlp_fused import pack_mlp_params
+
+                packed_mlp = pack_mlp_params(params["decoder"]["blocks"])
+
             def body(i, state):
                 tokens, cache, acc = state
                 tok_in = lax.dynamic_slice(tokens, (0, i), (B, 1))
                 logits, cache = decoder_forward(
-                    params, tok_in, i, cross_kv, cache, dims
+                    params, tok_in, i, cross_kv, cache, dims,
+                    packed_mlp=packed_mlp, mlp_interpret=mlp_interp,
                 )
                 lg = logits[:, 0].astype(jnp.float32)
                 if with_filters:

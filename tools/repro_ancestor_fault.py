@@ -69,7 +69,10 @@ def run_beam(args) -> bool:
         tok = jnp.full((args.batch, 1), 50257, jnp.int32)
         t0 = time.perf_counter()
         out = fn(params, mel, tok)
-        jax.block_until_ready(out.candidates)
+        # host transfer = the only reliable completion fence on the
+        # tunneled runtime (block_until_ready returns early there), and
+        # the only way a worker crash surfaces as an exception HERE
+        np.asarray(out.candidates[:, 0, :4])
         print(f"run {i + 1}/{args.runs} ok ({time.perf_counter() - t0:.1f}s)",
               flush=True)
     return True
@@ -138,7 +141,7 @@ def run_synthetic(args) -> bool:
         kk = k0 * (1.0 + i * 1e-3)
         t0 = time.perf_counter()
         out = fn(kk, v0)
-        jax.block_until_ready(out)
+        float(out)  # host transfer: reliable completion fence (see run_beam)
         print(f"run {i + 1}/{args.runs} ok ({time.perf_counter() - t0:.1f}s)",
               flush=True)
     return True

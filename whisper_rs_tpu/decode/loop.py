@@ -128,7 +128,8 @@ def _encode_and_prefill(
 def _step_logits(
     params, tokens, pos, cross_kv, cache, dims, cfg, sample_begin,
     key_start=None, cross_group: int = 1, ctx_window=None, ancestors=None,
-    packed=None, k_ctx_major=False,
+    packed=None, k_ctx_major=False, packed_mlp=None, mlp_interpret=False,
+    kv_fused=False, fused_self_interpret=False,
 ):
     """One incremental decoder step: feed the token at pos-1, return
     filtered logits for position pos and the updated cache."""
@@ -139,7 +140,9 @@ def _step_logits(
     logits, cache = decoder_forward(
         params, tok_in, pos - 1, cross_kv, cache, dims, key_start=key_start,
         cross_group=cross_group, ctx_window=ctx_window, ancestors=ancestors,
-        packed=packed, k_ctx_major=k_ctx_major,
+        packed=packed, k_ctx_major=k_ctx_major, packed_mlp=packed_mlp,
+        mlp_interpret=mlp_interpret, kv_fused=kv_fused,
+        fused_self_interpret=fused_self_interpret,
     )
     filtered = apply_filters(
         cfg, logits[:, 0].astype(jnp.float32), tokens, pos, sample_begin
@@ -301,7 +304,16 @@ def decode_greedy(
     # write is an in-place sublane dynamic_update_slice only in ctx-major
     # form (the lane-column write copy-lowers, ~312 us/step base.en b32).
     # One 2x-cache-sized transpose per window, amortized over <=224 steps.
-    from ..models.whisper import _pallas_layer_mode
+    from ..models.whisper import _pallas_layer_mode, decode_kernel_modes
+
+    use_mlp, mlp_interp, use_fs, fs_interp = decode_kernel_modes(dims, B)
+    packed_mlp = None
+    if use_mlp:
+        from ..ops.decoder_mlp_fused import mlp_fused_ok, pack_mlp_params
+
+        if mlp_fused_ok(params["decoder"]["blocks"]):
+            # loop-invariant: pack fc1+fc2 into one stream OUTSIDE the loop
+            packed_mlp = pack_mlp_params(params["decoder"]["blocks"])
 
     packed = None
     use_fused = False
@@ -318,6 +330,23 @@ def decode_greedy(
                 cache=init.cache._replace(k=init.cache.k.swapaxes(-1, -2))
             )
 
+    # Ctx-major self cache (greedy only): flip K into V's
+    # [L, B, H, ctx, dh] layout once per window so the per-step
+    # self-attention runs in a Pallas kernel whose cache column writes
+    # stay in-place sublane writes (ops/decode_attention.py
+    # self_attention_fused_step — ~92 vs ~114 us/layer for the XLA cache
+    # dots at large-v3 b12; shape-gated to the large-model small-batch
+    # regime by decode_kernel_modes).  Mutually exclusive with the opt-in
+    # megakernel (which owns the cache layout) and int8 KV.
+    kv_fused = False
+    if use_fs and not use_fused and not quantize_kv:
+        kv_fused = True
+        init = init._replace(
+            cache=init.cache._replace(
+                k=init.cache.k.swapaxes(-1, -2)
+            )
+        )
+
     s = init
     for W in _phase_windows(n_ctx, initial_tokens.shape[1], sample_len):
 
@@ -328,7 +357,9 @@ def decode_greedy(
             logits, cache = _step_logits(
                 params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg,
                 sample_begin, key_start, group, ctx_window=W, packed=packed,
-                k_ctx_major=use_fused,
+                k_ctx_major=use_fused, packed_mlp=packed_mlp,
+                mlp_interpret=mlp_interp, kv_fused=kv_fused,
+                fused_self_interpret=fs_interp,
             )
             tokens, sum_lp, finished = _greedy_update(
                 logits, st.tokens, st.pos, st.sum_logprobs, st.finished, eot,
@@ -550,6 +581,16 @@ def decode_beam(
     ident = jnp.arange(B, dtype=jnp.int32)
     anc0 = jnp.broadcast_to(ident[:, None], (B, n_ctx)) if use_anc else None
 
+    from ..models.whisper import decode_kernel_modes
+
+    use_mlp, mlp_interp, _, _ = decode_kernel_modes(dims, B)
+    packed_mlp = None
+    if use_mlp:
+        from ..ops.decoder_mlp_fused import mlp_fused_ok, pack_mlp_params
+
+        if mlp_fused_ok(params["decoder"]["blocks"]):
+            packed_mlp = pack_mlp_params(params["decoder"]["blocks"])
+
     init = _BeamState(
         step=jnp.int32(0),
         pos=sample_begin,
@@ -589,6 +630,7 @@ def decode_beam(
             logits, cache = _step_logits(
                 params, st.tokens, st.pos, cross_kv, st.cache, dims, cfg,
                 sample_begin, key_start, beam, ctx_window=W, ancestors=anc,
+                packed_mlp=packed_mlp, mlp_interpret=mlp_interp,
             )
             st = st._replace(cache=cache)
             return _beam_step(logits, st, beam, cap, eot, ctx_window=W)

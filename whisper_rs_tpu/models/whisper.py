@@ -68,6 +68,73 @@ def _pallas_decode_mode() -> tuple:
     return False, False, False
 
 
+def decode_kernels_profitable(dims: ModelDims, batch_rows: int) -> bool:
+    """Shape gate for the r4 decode-step kernels (fused-self + fused-MLP),
+    measured on v5e (tools/bench_step.py A/B, ms/step ON vs OFF):
+
+      large-v3 b12:  10.57 vs 11.14  -> +5% WIN
+      turbo b64:      5.53 vs  5.09  -> -9%
+      medium.en b32: 13.47 vs 12.40  -> -9%
+      base.en b128:   6.31 vs  4.67  -> -35%
+
+    The kernels win only in the large-model small-batch matvec regime,
+    where XLA's per-(b,h) cache micro-dots are dispatch-bound; at bigger
+    batches XLA batches the dots efficiently and the per-row Pallas grid
+    overhead dominates (same shape cliff as the r2 self/megakernel
+    findings).  "auto" therefore engages them only here; WHISPER_FUSED_SELF
+    / WHISPER_PALLAS_MLP = "1" force them anywhere."""
+    return batch_rows <= 16 and dims.n_text_state >= 1280 and dims.n_text_layer >= 32
+
+
+def _pallas_fused_self_mode() -> tuple:
+    """(use_fused_self, interpret) for the greedy decode step's fused-plane
+    self-attention kernel (ops/decode_attention.py::self_attention_fused_step
+    — ctx-major cache, in-place sublane column writes, ~92 vs ~114 us/layer
+    for the XLA cache dots at large-v3 b12, device trace r4).
+    WHISPER_FUSED_SELF: "auto" (default — on on TPU where
+    decode_kernels_profitable says so), "1", "interpret", "0"."""
+    env = os.environ.get("WHISPER_FUSED_SELF", "auto")
+    if env == "interpret":
+        return True, True
+    if env == "1":
+        return True, False
+    if env == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        return on_tpu, False
+    return False, False
+
+
+def _pallas_mlp_mode() -> tuple:
+    """(use_mlp_kernel, interpret) for the decode-step fused MLP kernel
+    (ops/decoder_mlp_fused.py — fc1+fc2 as ONE packed HBM stream).
+    WHISPER_PALLAS_MLP: "auto" (default — on on TPU where
+    decode_kernels_profitable says so), "1" force (compiled), "interpret"
+    (CPU parity tests), "0" off."""
+    env = os.environ.get("WHISPER_PALLAS_MLP", "auto")
+    if env == "interpret":
+        return True, True
+    if env == "1":
+        return True, False
+    if env == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        return on_tpu, False
+    return False, False
+
+
+def decode_kernel_modes(dims: ModelDims, batch_rows: int) -> tuple:
+    """Resolved (use_mlp, mlp_interpret, use_fused_self, fs_interpret) for
+    the decode loops and bench tools: "auto" modes additionally pass the
+    decode_kernels_profitable shape gate; forced modes ("1"/"interpret")
+    engage unconditionally."""
+    use_mlp, mlp_interp = _pallas_mlp_mode()
+    if use_mlp and os.environ.get("WHISPER_PALLAS_MLP", "auto") == "auto":
+        use_mlp = decode_kernels_profitable(dims, batch_rows)
+    use_fs, fs_interp = _pallas_fused_self_mode()
+    if use_fs and os.environ.get("WHISPER_FUSED_SELF", "auto") == "auto":
+        use_fs = decode_kernels_profitable(dims, batch_rows)
+    return use_mlp, mlp_interp, use_fs, fs_interp
+
+
 def _pallas_layer_mode() -> tuple:
     """(use_layer_kernel, interpret) for the whole-decoder-step megakernel
     (ops/decoder_layer_fused.py).  WHISPER_PALLAS_DECODE="layer" enables it
@@ -606,6 +673,14 @@ def decoder_forward(
     packed: Optional[tuple] = None,  # pre-packed megakernel weights
     k_ctx_major: bool = False,  # cache.k flipped to [L, B, H, ctx, dh]
     # (megakernel path only; set by the greedy decode loop after prefill)
+    packed_mlp: Optional[tuple] = None,  # (w_pack, b1) from pack_mlp_params
+    # — incremental step only; routes the per-layer MLP through the fused
+    # single-stream Pallas kernel (ops/decoder_mlp_fused.py)
+    mlp_interpret: bool = False,
+    kv_fused: bool = False,  # cache.k is flipped CTX-MAJOR (V's
+    # [L,B,H,ctx,dh] layout) — set by the greedy loop after prefill;
+    # self-attention then runs self_attention_fused_step
+    fused_self_interpret: bool = False,
 ) -> tuple:
     """One decoder pass (prefill if T>1, incremental if T==1).
 
@@ -625,6 +700,12 @@ def decoder_forward(
     """
     dec = params["decoder"]
     B, T = tokens.shape
+    if T != 1:
+        packed_mlp = None  # incremental-step kernel only (prefill is XLA)
+    if kv_fused:
+        assert T == 1 and ancestors is None, (
+            "fused-plane self cache: greedy incremental step only"
+        )
     n_head = dims.n_text_head
     d_head = dims.head_dim
     scale = d_head**-0.5  # folded q·k scale (see mha_self docstring)
@@ -782,6 +863,8 @@ def decoder_forward(
         if quantized_self:
             x, k_all, v_all, ks_all, vs_all = carry
         else:
+            # kv_fused: k_all is ctx-major (V's layout); same carry
+            # structure either way
             x, k_all, v_all = carry
             ks_all = vs_all = None
         if pallas_cross:
@@ -807,12 +890,37 @@ def decoder_forward(
             vs_all = lax.dynamic_update_slice(
                 vs_all, v_new_s[None], (l, 0, 0, pos_offset, 0)
             )
-        k_all = lax.dynamic_update_slice(
-            k_all, k_new.swapaxes(-1, -2)[None], (l, 0, 0, 0, pos_offset)
-        )  # [L, B, H, dh, n_ctx] — transposed layout (see KVCache)
-        v_all = lax.dynamic_update_slice(v_all, v_new[None], (l, 0, 0, pos_offset, 0))
+        if kv_fused:
+            # K flipped to ctx-major (V's layout): the column write is a
+            # SUBLANE write, which fuses in place with its projection
+            # producer even though the buffer feeds an opaque pallas
+            # consumer (a lane-column write there copy-lowers into a full
+            # per-layer cache copy — device trace r4 / megakernel ROADMAP)
+            k_all = lax.dynamic_update_slice(
+                k_all, k_new[None], (l, 0, 0, pos_offset, 0)
+            )
+        else:
+            k_all = lax.dynamic_update_slice(
+                k_all, k_new.swapaxes(-1, -2)[None], (l, 0, 0, 0, pos_offset)
+            )  # [L, B, H, dh, n_ctx] — transposed layout (see KVCache)
+        v_all = lax.dynamic_update_slice(
+            v_all, v_new[None], (l, 0, 0, pos_offset, 0)
+        )
 
-        if pallas_beam:
+        if kv_fused:
+            from ..ops.decode_attention import self_attention_fused_step
+
+            attn = self_attention_fused_step(
+                q[:, :, 0, :],
+                k_all,
+                v_all,
+                l,
+                pos_offset,
+                key_start,
+                window=W,
+                interpret=fused_self_interpret,
+            )[:, :, None, :]
+        elif pallas_beam:
             attn = beam_self_attention_step(
                 q[:, :, 0, :],
                 k_all,
@@ -901,18 +1009,39 @@ def decoder_forward(
 
         # -- MLP ------------------------------------------------------------
         h = layer_norm(x, bp["mlp_ln"])
-        x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
+        if packed_mlp is not None:
+            from ..ops.decoder_mlp_fused import decoder_mlp_step
+
+            out = decoder_mlp_step(
+                h[:, 0, :], packed_mlp[0], packed_mlp[1], l,
+                interpret=mlp_interpret,
+            )
+            x = x + (
+                out + bp["mlp"]["fc2"]["b"].astype(out.dtype)
+            )[:, None, :]
+        else:
+            x = x + linear(gelu(linear(h, bp["mlp"]["fc1"])), bp["mlp"]["fc2"])
         if quantized_self:
             return (x, k_all, v_all, ks_all, vs_all), None
         return (x, k_all, v_all), None
 
+    blocks_xs = dec["blocks"]
+    if packed_mlp is not None:
+        # the fused MLP kernel reads fc1/fc2 straight from the packed HBM
+        # array — strip the big weight leaves from the scan xs so they are
+        # not ALSO streamed (XLA does not reliably DCE unused xs slices)
+        dummy = jnp.zeros((dims.n_text_layer, 1, 1), jnp.int8)
+        mlp_xs = dict(blocks_xs["mlp"])
+        mlp_xs["fc1"] = {**blocks_xs["mlp"]["fc1"], "w": dummy}
+        mlp_xs["fc2"] = {**blocks_xs["mlp"]["fc2"], "w": dummy}
+        blocks_xs = {**blocks_xs, "mlp": mlp_xs}
     if pallas_cross:
         # fused cross-K/V read inside the kernel straight from HBM — keep it
         # out of the scan xs (xs slicing would copy [B, H, 2, dh, Tk] per
         # layer)
-        layer_xs = (dec["blocks"], jnp.arange(dims.n_text_layer))
+        layer_xs = (blocks_xs, jnp.arange(dims.n_text_layer))
     else:
-        layer_xs = (dec["blocks"], cross_kv.kv)
+        layer_xs = (blocks_xs, cross_kv.kv)
         if quantized_cross:
             layer_xs = layer_xs + (cross_kv.k_scale, cross_kv.v_scale)
         layer_xs = layer_xs + (jnp.arange(dims.n_text_layer),)

@@ -186,6 +186,118 @@ def _kernel_no_scales(kernel, *refs, n_scalars: int):
 
 
 # ---------------------------------------------------------------------------
+# fused-plane self-attention (greedy incremental step)
+# ---------------------------------------------------------------------------
+
+
+def _self_fused_kernel(l_ref, pos_ref, ks_ref, q_ref, k_ref, v_ref, o_ref):
+    b = pl.program_id(0)
+    _, H, dh = q_ref.shape
+    W = k_ref.shape[-2]
+
+    q = q_ref[0].astype(jnp.float32)  # [H, dh]
+    k = k_ref[0, 0].astype(jnp.float32)  # [H, W, dh] (ctx-major)
+    qk = jnp.sum(q[:, None, :] * k, axis=2)  # [H, W] f32, all heads on VPU
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    visible = (ids <= pos_ref[0]) & (ids >= ks_ref[b])
+    qk = jnp.where(visible, qk, NEG)
+
+    m = jnp.max(qk, axis=-1, keepdims=True)
+    e = jnp.exp(qk - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)  # [H, W]
+
+    v = v_ref[0, 0].astype(jnp.float32)  # [H, W, dh] (ctx-major)
+    out = jnp.sum(w[:, :, None] * v, axis=1)  # [H, dh]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def self_attention_fused_step(
+    q: jnp.ndarray,  # [B, H, dh], pre-scaled
+    k_all: jnp.ndarray,  # [L, B, H, n_ctx, dh] — K CTX-MAJOR (V's layout)
+    v_all: jnp.ndarray,  # [L, B, H, n_ctx, dh]
+    layer: jnp.ndarray,  # scalar i32
+    q_pos: jnp.ndarray,  # scalar i32
+    key_start: Optional[jnp.ndarray],  # [B] i32 or None
+    *,
+    window: int,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [B, H, dh]
+    """Greedy-step self-attention over a ctx-major cache (both planes in
+    V's [.., n_ctx, dh] layout).
+
+    Design constraints that picked this layout (device traces, large-v3
+    b12 W=448, r4):
+
+      * XLA lowers the [1,64]x[64,W] qk/pv cache dots as kLoop fusions
+        that read at ~240 GB/s — 114 us/layer is the bar to beat;
+      * a Pallas kernel over the transposed [.., dh, ctx] planes reads at
+        ~634 GB/s (43 us/layer) — but ANY lane-column cache write whose
+        buffer feeds an opaque pallas consumer copy-lowers into a full
+        per-layer cache copy (+54 us per plane, measured; the megakernel
+        round hit the same wall, ROADMAP), eating the entire win;
+      * ctx-major makes the per-step column writes SUBLANE writes — the
+        form that fuses in place with the projection producers even with
+        a pallas consumer — at a ~13% DMA tax for half-empty [W, dh=64]
+        tiles (megakernel finding).  Net: ~50 vs 114 us/layer.
+
+    The decode loop flips K to ctx-major once per window after prefill
+    (decode/loop.py), exactly like the megakernel path."""
+    B, H, dh = q.shape
+    n_ctx = k_all.shape[-2]
+    W = min(window, n_ctx)
+    if W % 8:
+        W = min(-(-W // 8) * 8, n_ctx)
+    if key_start is None:
+        key_start = jnp.zeros((B,), jnp.int32)
+
+    # VMEM: double-buffered [H, W, dh] blocks (x2 streams) + the f32
+    # upcasts/products of the all-heads VPU math (NOT stack-reused —
+    # budget every live intermediate): ~4 f32 copies of one plane
+    block_bytes = 2 * H * dh * W * k_all.dtype.itemsize
+    temps = 4 * H * dh * W * 4
+    need = 2 * (block_bytes + temps)
+    vmem = (
+        None
+        if need <= 14 * 1024 * 1024
+        else min(-(-need // (1 << 20)) * (1 << 20), 100 * 1024 * 1024)
+    )
+
+    plane_spec = pl.BlockSpec(
+        (1, 1, H, W, dh), lambda b, l, p, s: (l[0], b, 0, 0, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, dh), lambda b, l, p, s: (b, 0, 0)),
+            plane_spec,
+            plane_spec,
+        ],
+        out_specs=pl.BlockSpec((1, H, dh), lambda b, l, p, s: (b, 0, 0)),
+    )
+    kwargs = {}
+    if vmem:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem
+        )
+    return pl.pallas_call(
+        _self_fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, dh), q.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(
+        jnp.reshape(layer, (1,)).astype(jnp.int32),
+        jnp.reshape(q_pos, (1,)).astype(jnp.int32),
+        key_start.astype(jnp.int32),
+        q,
+        k_all,
+        v_all,
+    )
+
+
+# ---------------------------------------------------------------------------
 # cross-attention against per-audio encoder K/V (G group rows share one K/V)
 # ---------------------------------------------------------------------------
 
