@@ -129,6 +129,18 @@ def test_compression_ratio_and_fallback_rule():
     assert needs_fallback(opts, "ok text", -2.0)  # low confidence
     assert needs_fallback(opts, "na " * 200, -0.1)  # degenerate repetition
     assert not needs_fallback(opts, "a normal sentence here", -0.1)
+    # OpenAI silence short-circuit: a confidently-silent window is accepted
+    # (then skipped) instead of climbing the ladder, even if it would
+    # otherwise fail the confidence/repetition checks
+    sil = TranscribeOptions(
+        temperatures=(0.0, 0.5), compression_ratio_threshold=2.4,
+        logprob_threshold=-1.0, no_speech_threshold=0.6,
+    )
+    assert not needs_fallback(sil, "ok text", -2.0, no_speech_prob=0.9)
+    assert not needs_fallback(sil, "na " * 200, -0.1, no_speech_prob=0.9)
+    assert needs_fallback(sil, "ok text", -2.0, no_speech_prob=0.3)
+    # threshold unset -> no short-circuit regardless of the probability
+    assert needs_fallback(opts, "ok text", -2.0, no_speech_prob=0.99)
 
 
 def test_temperature_ladder_retries(monkeypatch):

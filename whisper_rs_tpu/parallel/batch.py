@@ -186,7 +186,15 @@ class BatchTranscriber:
                 # pad the batch with repeats to the static batch size so the
                 # decode graph compiles once: as utterances retire
                 # (8->5->3->1) shapes stay [batch_size, ...]; padded rows
-                # are dropped below because results are indexed by group
+                # are dropped below because results are indexed by group.
+                # Cost note: each temperature-rung GROUP pays a full-batch
+                # decode, so a round with k distinct rungs costs k
+                # full-batch decodes even when a rung holds one row.  With
+                # the default ladder rungs are rare (most windows accept at
+                # t=0) and the silence short-circuit in needs_fallback
+                # keeps silent windows off the ladder entirely; making the
+                # temperature per-row (traced [B] vector) would let mixed
+                # t>0 rungs share one call if this ever shows up in traces.
                 n_real = len(windows)
                 while len(windows) < self.batch_size:
                     windows.append(windows[-1])
@@ -224,7 +232,9 @@ class BatchTranscriber:
                 if (
                     opts.temperatures is not None
                     and s.temp_idx < len(ladder) - 1
-                    and needs_fallback(opts, r.text, r.avg_logprob)
+                    and needs_fallback(
+                        opts, r.text, r.avg_logprob, r.no_speech_prob
+                    )
                 ):
                     # retry the SAME window at the next rung next round;
                     # the seek does not advance and nothing is recorded

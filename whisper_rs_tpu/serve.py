@@ -459,7 +459,7 @@ class ServingEngine:
         if (
             ladder is not None
             and job.temp_idx < len(ladder) - 1
-            and needs_fallback(opts, r.text, r.avg_logprob)
+            and needs_fallback(opts, r.text, r.avg_logprob, r.no_speech_prob)
         ):
             # retry the SAME window at the next rung next round; the seek
             # does not advance and nothing is recorded for this attempt

@@ -78,13 +78,31 @@ def compression_ratio(text: str) -> float:
     return len(data) / len(zlib.compress(data))
 
 
-def needs_fallback(opts: TranscribeOptions, text: str, avg_logprob: float) -> bool:
-    """Temperature-ladder retry rule (OpenAI transcribe semantics)."""
+def needs_fallback(
+    opts: TranscribeOptions,
+    text: str,
+    avg_logprob: float,
+    no_speech_prob: Optional[float] = None,
+) -> bool:
+    """Temperature-ladder retry rule (OpenAI decode_with_fallback semantics).
+
+    The silence short-circuit comes last and overrides both failure
+    conditions: a window the model confidently flags as non-speech is
+    accepted as-is (and then skipped by ``should_skip_no_speech``) rather
+    than climbing the ladder — re-decoding silence at higher temperatures
+    just manufactures hallucinations at 6x the cost."""
+    fallback = False
     if compression_ratio(text) > opts.compression_ratio_threshold:
-        return True  # degenerate repetition
+        fallback = True  # degenerate repetition
     if avg_logprob < opts.logprob_threshold:
-        return True  # low confidence
-    return False
+        fallback = True  # low confidence
+    if (
+        no_speech_prob is not None
+        and opts.no_speech_threshold is not None
+        and no_speech_prob > opts.no_speech_threshold
+    ):
+        fallback = False  # confident silence: accept (then skip) the window
+    return fallback
 
 
 def should_skip_no_speech(
@@ -257,6 +275,13 @@ class TranscribeTask:
                 keep_audio_features=self.options.word_timestamps,
                 encoder_fn=self._encoder_fn,
             )
+            # inherit post-construction toggles set on the primary task
+            # (eval_wer.py sets decode_task.quantize_kv directly) so the
+            # t>0 rungs decode with the same cache dtype — keeps the
+            # sequential and batch drivers bit-identical (parallel/batch.py
+            # does the same)
+            if getattr(self.decode_task, "quantize_kv", False):
+                self._fallback_tasks["sampling"].quantize_kv = True
         return self._fallback_tasks["sampling"]
 
     def run(self, audio, mel: Optional[np.ndarray] = None) -> TranscribeOutput:
@@ -306,7 +331,9 @@ class TranscribeTask:
                 result = task.run(window, temperature=temp)[0]
                 if idx == len(ladder) - 1 or opts.temperatures is None:
                     break
-                if not needs_fallback(opts, result.text, result.avg_logprob):
+                if not needs_fallback(
+                    opts, result.text, result.avg_logprob, result.no_speech_prob
+                ):
                     break
             segment_tokens = np.asarray(result.tokens, np.int64)
             avg_logprobs.append(result.avg_logprob)
