@@ -9,6 +9,7 @@ from .mesh import (
 from .sharding import batch_sharding, param_shardings, shard_params
 from .distributed import initialize_multihost
 from .pipeline import encoder_forward_pp, make_pipeline_mesh, pp_encoder_fn
+from .ulysses import encoder_forward_ulysses, ulysses_encoder_fn
 
 __all__ = [
     "DATA_AXIS",
@@ -17,6 +18,7 @@ __all__ = [
     "batch_sharding",
     "data_sharding",
     "encoder_forward_pp",
+    "encoder_forward_ulysses",
     "initialize_multihost",
     "make_mesh",
     "make_pipeline_mesh",
@@ -24,4 +26,5 @@ __all__ = [
     "pp_encoder_fn",
     "replicated",
     "shard_params",
+    "ulysses_encoder_fn",
 ]
