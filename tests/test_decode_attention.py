@@ -97,10 +97,56 @@ def test_self_attention_fused_kernel_oracle():
             )
 
 
-def test_greedy_decode_fused_self_exact(monkeypatch):
-    """Full greedy decode with WHISPER_FUSED_SELF=interpret (ctx-major
-    cache + kernel) produces bit-identical tokens to the XLA path —
-    prompted rows (key_start) included."""
+import pytest as _pytest
+
+
+def test_self_attention_append_kernel_oracle():
+    """self_attention_append_step (r5, VERDICT r4 #2): in-kernel column
+    write + transposed-plane reads + fresh-column contribution must equal
+    write-then-attend reference math, and both cache planes must come back
+    with the new column written."""
+    from whisper_rs_tpu.ops.decode_attention import self_attention_append_step
+
+    rng = np.random.default_rng(0)
+    L, B, H, dh, ctx = 3, 4, 8, 64, 448
+    p, W, lyr = 130, 256, 1
+    ks = np.array([0, 3, 5, 0], np.int32)
+
+    k_all = rng.standard_normal((L, B, H, dh, ctx)).astype(np.float32) * 0.3
+    v_all = rng.standard_normal((L, B, H, dh, ctx)).astype(np.float32) * 0.3
+    q = rng.standard_normal((B, H, dh)).astype(np.float32) * 0.3
+    k_new = rng.standard_normal((B, H, dh)).astype(np.float32) * 0.3
+    v_new = rng.standard_normal((B, H, dh)).astype(np.float32) * 0.3
+
+    out, k_out, v_out = self_attention_append_step(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(k_all), jnp.asarray(v_all),
+        jnp.int32(lyr), jnp.int32(p), jnp.asarray(ks),
+        window=W, interpret=True,
+    )
+    out, k_out, v_out = map(np.asarray, (out, k_out, v_out))
+
+    k_ref = k_all.copy(); v_ref = v_all.copy()
+    k_ref[lyr, :, :, :, p] = k_new
+    v_ref[lyr, :, :, :, p] = v_new
+    ids = np.arange(ctx)
+    for b in range(B):
+        vis = (ids <= p) & (ids >= ks[b])
+        for h in range(H):
+            qk = np.where(vis, q[b, h] @ k_ref[lyr, b, h], -1e9)
+            w = np.exp(qk - qk.max()); w /= w.sum()
+            np.testing.assert_allclose(
+                out[b, h], v_ref[lyr, b, h] @ w, rtol=1e-5, atol=1e-5
+            )
+    np.testing.assert_array_equal(k_out, k_ref)
+    np.testing.assert_array_equal(v_out, v_ref)
+
+
+@_pytest.mark.parametrize("mode", ["interpret", "append-interpret"])
+def test_greedy_decode_fused_self_exact(monkeypatch, mode):
+    """Full greedy decode with the fused self-attention kernels (ctx-major
+    r4 kernel and the r5 in-kernel-append kernel) produces bit-identical
+    tokens to the XLA path — prompted rows (key_start) included."""
     params = init_params(jax.random.PRNGKey(0), DIMS)
     cfg = FilterConfig(
         n_vocab=1000, token_id_eot=500, token_id_space=7,
@@ -124,7 +170,7 @@ def test_greedy_decode_fused_self_exact(monkeypatch):
 
     monkeypatch.setenv("WHISPER_FUSED_SELF", "0")
     ref = run()
-    monkeypatch.setenv("WHISPER_FUSED_SELF", "interpret")
+    monkeypatch.setenv("WHISPER_FUSED_SELF", mode)
     got = run()
     np.testing.assert_array_equal(got, ref)
 

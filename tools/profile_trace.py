@@ -59,7 +59,7 @@ def main():
 
         from whisper_rs_tpu.models.whisper import decode_kernel_modes
 
-        use_mlp, mlp_interp, kv_fused, fs_interp = decode_kernel_modes(
+        use_mlp, mlp_interp, fs_mode, fs_interp = decode_kernel_modes(
             dims, B
         )
         packed_mlp = None
@@ -68,9 +68,11 @@ def main():
 
             packed_mlp = pack_mlp_params(params["decoder"]["blocks"])
 
-        kv_fused = kv_fused and not fused
-        if kv_fused:
+        kv_fused = "off" if fused else fs_mode
+        if kv_fused == "ctx":
             cache = cache._replace(k=cache.k.swapaxes(-1, -2))
+        elif kv_fused == "append":
+            cache = cache._replace(v=cache.v.swapaxes(-1, -2))
 
         def body(i, state):
             cache, acc = state

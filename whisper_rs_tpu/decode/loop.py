@@ -306,7 +306,7 @@ def decode_greedy(
     # One 2x-cache-sized transpose per window, amortized over <=224 steps.
     from ..models.whisper import _pallas_layer_mode, decode_kernel_modes
 
-    use_mlp, mlp_interp, use_fs, fs_interp = decode_kernel_modes(dims, B)
+    use_mlp, mlp_interp, fs_mode, fs_interp = decode_kernel_modes(dims, B)
     packed_mlp = None
     if use_mlp:
         from ..ops.decoder_mlp_fused import mlp_fused_ok, pack_mlp_params
@@ -330,22 +330,31 @@ def decode_greedy(
                 cache=init.cache._replace(k=init.cache.k.swapaxes(-1, -2))
             )
 
-    # Ctx-major self cache (greedy only): flip K into V's
-    # [L, B, H, ctx, dh] layout once per window so the per-step
-    # self-attention runs in a Pallas kernel whose cache column writes
-    # stay in-place sublane writes (ops/decode_attention.py
-    # self_attention_fused_step — ~92 vs ~114 us/layer for the XLA cache
-    # dots at large-v3 b12; shape-gated to the large-model small-batch
-    # regime by decode_kernel_modes).  Mutually exclusive with the opt-in
-    # megakernel (which owns the cache layout) and int8 KV.
-    kv_fused = False
-    if use_fs and not use_fused and not quantize_kv:
-        kv_fused = True
-        init = init._replace(
-            cache=init.cache._replace(
-                k=init.cache.k.swapaxes(-1, -2)
+    # Fused self-attention cache layouts (greedy only; shape-gated to the
+    # large-model small-batch regime by decode_kernel_modes; mutually
+    # exclusive with the opt-in megakernel and int8 KV):
+    #   "append" — flip V into K's TRANSPOSED [L, B, H, dh, ctx] layout
+    #     once per window; the per-step column writes happen INSIDE
+    #     self_attention_append_step (manual DMA into the aliased cache),
+    #     so both planes read at the fast transposed rate (r5);
+    #   "ctx" — flip K into V's ctx-major layout so the XLA column writes
+    #     stay in-place sublane writes (the r4 kernel, ~92 vs ~114
+    #     us/layer for the XLA cache dots at large-v3 b12).
+    kv_fused = "off"
+    if fs_mode != "off" and not use_fused and not quantize_kv:
+        kv_fused = fs_mode
+        if fs_mode == "ctx":
+            init = init._replace(
+                cache=init.cache._replace(
+                    k=init.cache.k.swapaxes(-1, -2)
+                )
             )
-        )
+        else:  # append: V joins K in the transposed layout
+            init = init._replace(
+                cache=init.cache._replace(
+                    v=init.cache.v.swapaxes(-1, -2)
+                )
+            )
 
     s = init
     for W in _phase_windows(n_ctx, initial_tokens.shape[1], sample_len):

@@ -87,21 +87,34 @@ def decode_kernels_profitable(dims: ModelDims, batch_rows: int) -> bool:
 
 
 def _pallas_fused_self_mode() -> tuple:
-    """(use_fused_self, interpret) for the greedy decode step's fused-plane
-    self-attention kernel (ops/decode_attention.py::self_attention_fused_step
-    — ctx-major cache, in-place sublane column writes, ~92 vs ~114 us/layer
-    for the XLA cache dots at large-v3 b12, device trace r4).
-    WHISPER_FUSED_SELF: "auto" (default — on on TPU where
-    decode_kernels_profitable says so), "1", "interpret", "0"."""
+    """(mode, interpret) for the greedy decode step's fused self-attention
+    kernel.  mode is one of:
+
+      "append" — ops/decode_attention.py::self_attention_append_step: BOTH
+        cache planes transposed [.., dh, ctx] (the ~634 GB/s read layout),
+        the per-step K/V column written INSIDE the kernel by manual DMA
+        into the aliased HBM cache (r5; VERDICT r4 #2 — no XLA lane-column
+        write to copy-lower);
+      "ctx" — self_attention_fused_step: ctx-major planes, XLA in-place
+        sublane column writes, ~300 GB/s reads (the r4 kernel — fallback);
+      "off".
+
+    WHISPER_FUSED_SELF: "auto" (default — "append" on TPU where
+    decode_kernels_profitable says so), "append", "1"/"ctx" (the r4
+    kernel), "interpret"/"append-interpret" (CPU parity), "0"."""
     env = os.environ.get("WHISPER_FUSED_SELF", "auto")
     if env == "interpret":
-        return True, True
-    if env == "1":
-        return True, False
+        return "ctx", True
+    if env == "append-interpret":
+        return "append", True
+    if env in ("1", "ctx"):
+        return "ctx", False
+    if env == "append":
+        return "append", False
     if env == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        return on_tpu, False
-    return False, False
+        return ("append" if on_tpu else "off"), False
+    return "off", False
 
 
 def _pallas_mlp_mode() -> tuple:
@@ -122,17 +135,19 @@ def _pallas_mlp_mode() -> tuple:
 
 
 def decode_kernel_modes(dims: ModelDims, batch_rows: int) -> tuple:
-    """Resolved (use_mlp, mlp_interpret, use_fused_self, fs_interpret) for
-    the decode loops and bench tools: "auto" modes additionally pass the
-    decode_kernels_profitable shape gate; forced modes ("1"/"interpret")
-    engage unconditionally."""
+    """Resolved (use_mlp, mlp_interpret, fs_mode, fs_interpret) for the
+    decode loops and bench tools: "auto" modes additionally pass the
+    decode_kernels_profitable shape gate; forced modes ("1"/"interpret"/
+    "append") engage unconditionally.  fs_mode: "off" | "ctx" | "append"
+    (see _pallas_fused_self_mode)."""
     use_mlp, mlp_interp = _pallas_mlp_mode()
     if use_mlp and os.environ.get("WHISPER_PALLAS_MLP", "auto") == "auto":
         use_mlp = decode_kernels_profitable(dims, batch_rows)
-    use_fs, fs_interp = _pallas_fused_self_mode()
-    if use_fs and os.environ.get("WHISPER_FUSED_SELF", "auto") == "auto":
-        use_fs = decode_kernels_profitable(dims, batch_rows)
-    return use_mlp, mlp_interp, use_fs, fs_interp
+    fs_mode, fs_interp = _pallas_fused_self_mode()
+    if fs_mode != "off" and os.environ.get("WHISPER_FUSED_SELF", "auto") == "auto":
+        if not decode_kernels_profitable(dims, batch_rows):
+            fs_mode = "off"
+    return use_mlp, mlp_interp, fs_mode, fs_interp
 
 
 def _pallas_layer_mode() -> tuple:
@@ -677,9 +692,11 @@ def decoder_forward(
     # — incremental step only; routes the per-layer MLP through the fused
     # single-stream Pallas kernel (ops/decoder_mlp_fused.py)
     mlp_interpret: bool = False,
-    kv_fused: bool = False,  # cache.k is flipped CTX-MAJOR (V's
-    # [L,B,H,ctx,dh] layout) — set by the greedy loop after prefill;
-    # self-attention then runs self_attention_fused_step
+    kv_fused="off",  # "ctx": cache.k flipped CTX-MAJOR (V's [L,B,H,ctx,dh]
+    # layout), self-attention via self_attention_fused_step; "append":
+    # BOTH planes transposed [L,B,H,dh,ctx], column writes done IN-KERNEL
+    # (self_attention_append_step).  Set by the greedy loop after prefill.
+    # Legacy bool values accepted (True == "ctx").
     fused_self_interpret: bool = False,
 ) -> tuple:
     """One decoder pass (prefill if T>1, incremental if T==1).
@@ -702,10 +719,16 @@ def decoder_forward(
     B, T = tokens.shape
     if T != 1:
         packed_mlp = None  # incremental-step kernel only (prefill is XLA)
-    if kv_fused:
+    # normalize legacy bool values (True == the r4 ctx-major kernel)
+    if kv_fused is True:
+        kv_fused = "ctx"
+    elif not kv_fused:
+        kv_fused = "off"
+    if kv_fused != "off":
         assert T == 1 and ancestors is None, (
             "fused-plane self cache: greedy incremental step only"
         )
+        assert not cache.quantized, "fused-plane self cache: bf16/f32 only"
     n_head = dims.n_text_head
     d_head = dims.head_dim
     scale = d_head**-0.5  # folded q·k scale (see mha_self docstring)
@@ -890,7 +913,14 @@ def decoder_forward(
             vs_all = lax.dynamic_update_slice(
                 vs_all, v_new_s[None], (l, 0, 0, pos_offset, 0)
             )
-        if kv_fused:
+        if kv_fused == "append":
+            # Both planes transposed [.., dh, ctx]: NO XLA cache writes at
+            # all — the kernel DMAs the fresh [H, dh, 1] column into the
+            # aliased HBM cache itself and reads at the transposed-layout
+            # rate (~634 vs ~300 GB/s ctx-major; VERDICT r4 #2).  The
+            # caches chain in-place through the aliased pallas_calls.
+            pass
+        elif kv_fused == "ctx":
             # K flipped to ctx-major (V's layout): the column write is a
             # SUBLANE write, which fuses in place with its projection
             # producer even though the buffer feeds an opaque pallas
@@ -903,11 +933,28 @@ def decoder_forward(
             k_all = lax.dynamic_update_slice(
                 k_all, k_new.swapaxes(-1, -2)[None], (l, 0, 0, 0, pos_offset)
             )  # [L, B, H, dh, n_ctx] — transposed layout (see KVCache)
-        v_all = lax.dynamic_update_slice(
-            v_all, v_new[None], (l, 0, 0, pos_offset, 0)
-        )
+        if kv_fused != "append":
+            v_all = lax.dynamic_update_slice(
+                v_all, v_new[None], (l, 0, 0, pos_offset, 0)
+            )
 
-        if kv_fused:
+        if kv_fused == "append":
+            from ..ops.decode_attention import self_attention_append_step
+
+            attn, k_all, v_all = self_attention_append_step(
+                q[:, :, 0, :],
+                k_new[:, :, 0, :],
+                v_new[:, :, 0, :],
+                k_all,
+                v_all,
+                l,
+                pos_offset,
+                key_start,
+                window=W,
+                interpret=fused_self_interpret,
+            )
+            attn = attn[:, :, None, :]
+        elif kv_fused == "ctx":
             from ..ops.decode_attention import self_attention_fused_step
 
             attn = self_attention_fused_step(

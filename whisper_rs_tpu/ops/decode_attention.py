@@ -298,6 +298,192 @@ def self_attention_fused_step(
 
 
 # ---------------------------------------------------------------------------
+# append+attend self-attention: in-kernel column write, transposed planes
+# ---------------------------------------------------------------------------
+
+
+def _self_append_kernel(
+    # scalar prefetch
+    l_ref,  # [1] layer index
+    pos_ref,  # [1] absolute query position
+    ks_ref,  # [B] first valid cache slot per row
+    # tensor operands
+    q_ref,  # [1, H, dh] VMEM block (pre-scaled)
+    knew_ref,  # [1, H, dh] VMEM block — this step's K projection
+    vnew_ref,  # [1, H, dh]
+    kc_any,  # [L, B, H, dh, ctx] ANY (HBM) — aliased with kc_out
+    vc_any,  # [L, B, H, dh, ctx] ANY — V TRANSPOSED TOO (aliased vc_out)
+    # outputs
+    o_ref,  # [1, H, dh] VMEM block
+    kc_out,  # ANY alias of kc_any
+    vc_out,  # ANY alias of vc_any
+    # scratch
+    k_vmem,  # [H, dh, W] cache dtype
+    v_vmem,
+    kcol,  # [H, dh, 1] cache dtype
+    vcol,
+    sems,  # DMA semaphores (4,)
+    *,
+    window: int,
+):
+    b = pl.program_id(0)
+    _, H, dh = q_ref.shape
+    W = window
+    l = l_ref[0]
+    p = pos_ref[0]
+
+    # 1) kick off the cache reads (the dominant HBM streams)
+    rd_k = pltpu.make_async_copy(
+        kc_any.at[l, b, :, :, pl.ds(0, W)], k_vmem, sems.at[0]
+    )
+    rd_v = pltpu.make_async_copy(
+        vc_any.at[l, b, :, :, pl.ds(0, W)], v_vmem, sems.at[1]
+    )
+    rd_k.start()
+    rd_v.start()
+
+    # 2) stage the fresh column and write it straight into HBM — the write
+    # never exists at the XLA level, so there is no lane-column
+    # dynamic_update_slice to copy-lower (the +54 us/plane wall that ate
+    # the transposed-read win in r4; see self_attention_fused_step)
+    kcol[...] = knew_ref[0].astype(jnp.float32)[:, :, None].astype(kcol.dtype)
+    vcol[...] = vnew_ref[0].astype(jnp.float32)[:, :, None].astype(vcol.dtype)
+    wr_k = pltpu.make_async_copy(
+        kcol, kc_out.at[l, b, :, :, pl.ds(p, 1)], sems.at[2]
+    )
+    wr_v = pltpu.make_async_copy(
+        vcol, vc_out.at[l, b, :, :, pl.ds(p, 1)], sems.at[3]
+    )
+    wr_k.start()
+    wr_v.start()
+
+    # 3) attention over the STALE cache [0, p) plus the fresh column from
+    # registers — column p is masked out of the read (strict <), so the
+    # read/write race on slot p is benign by construction
+    rd_k.wait()
+    rd_v.wait()
+
+    q = q_ref[0].astype(jnp.float32)  # [H, dh]
+    k = k_vmem[...].astype(jnp.float32)  # [H, dh, W]
+    qk = jnp.sum(q[:, :, None] * k, axis=1)  # [H, W] f32, all heads on VPU
+    qk_new = jnp.sum(q * knew_ref[0].astype(jnp.float32), axis=1, keepdims=True)  # [H, 1]
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    visible = (ids < p) & (ids >= ks_ref[b])
+    qk = jnp.where(visible, qk, NEG)
+
+    m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True), qk_new)  # [H, 1]
+    e = jnp.exp(qk - m)  # [H, W]
+    e_new = jnp.exp(qk_new - m)  # [H, 1]
+    denom = jnp.sum(e, axis=-1, keepdims=True) + e_new  # [H, 1]
+
+    v = v_vmem[...].astype(jnp.float32)  # [H, dh, W]
+    out = jnp.sum((e / denom)[:, None, :] * v, axis=2)  # [H, dh]
+    out = out + (e_new / denom) * vnew_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+    wr_k.wait()
+    wr_v.wait()
+
+
+def self_attention_append_step(
+    q: jnp.ndarray,  # [B, H, dh], pre-scaled
+    k_new: jnp.ndarray,  # [B, H, dh] — this step's K projection (unwritten)
+    v_new: jnp.ndarray,  # [B, H, dh]
+    k_all: jnp.ndarray,  # [L, B, H, dh, n_ctx] — TRANSPOSED (KVCache layout)
+    v_all: jnp.ndarray,  # [L, B, H, dh, n_ctx] — V transposed too
+    layer: jnp.ndarray,  # scalar i32
+    q_pos: jnp.ndarray,  # scalar i32
+    key_start: Optional[jnp.ndarray],  # [B] i32 or None
+    *,
+    window: int,
+    interpret: bool = False,
+) -> tuple:  # (out [B, H, dh], k_all', v_all')
+    """Greedy-step self-attention that APPENDS the step's K/V column inside
+    the kernel (manual DMA into the aliased HBM cache) and reads both
+    planes in the fast transposed [.., dh, ctx] layout.
+
+    Why this shape (r4 device traces, large-v3 b12 W=448):
+
+      * transposed-plane Pallas reads run at ~634 GB/s (43 us/layer) vs
+        ~300 GB/s ctx-major (92 us) and ~240 GB/s for XLA's cache dots
+        (114 us) — but an XLA-level lane-column cache write feeding an
+        opaque pallas consumer copy-lowers into a full per-layer cache
+        copy (+54 us/plane), which is why r4 shipped the slower ctx-major
+        kernel (in-place sublane writes) instead;
+      * moving the write INSIDE the kernel (VERDICT r4 #2) removes the
+        XLA write entirely: the caches ride input_output_aliases and the
+        kernel DMAs the [H, dh, 1] column to HBM itself, overlapping the
+        big reads.  The fresh column's attention contribution is computed
+        from registers, so the kernel reads the stale [0, p) prefix and
+        strict-masks slot p — no read-after-write hazard.
+
+    The caller flips V to the transposed layout once per window after
+    prefill (K is already stored transposed)."""
+    B, H, dh = q.shape
+    n_ctx = k_all.shape[-1]
+    W = min(window, n_ctx)
+    if W % 128:
+        W = min(-(-W // 128) * 128, n_ctx)
+    if key_start is None:
+        key_start = jnp.zeros((B,), jnp.int32)
+
+    dt = k_all.dtype
+    # VMEM: single-buffered read scratch (manual DMA) + the f32 upcasts/
+    # products of the all-heads VPU math (qk product + pv product, NOT
+    # stack-reused — budget both live)
+    need = 2 * H * dh * W * dt.itemsize + 2 * H * dh * W * 4 + 2 * H * dh * W * 4
+    vmem = (
+        None
+        if need <= 14 * 1024 * 1024
+        else min(-(-need // (1 << 20)) * (1 << 20), 100 * 1024 * 1024)
+    )
+
+    row_spec = pl.BlockSpec((1, H, dh), lambda b, l, p, s: (b, 0, 0))
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[row_spec, row_spec, row_spec, any_spec, any_spec],
+        out_specs=[row_spec, any_spec, any_spec],
+        scratch_shapes=[
+            pltpu.VMEM((H, dh, W), dt),
+            pltpu.VMEM((H, dh, W), dt),
+            pltpu.VMEM((H, dh, 1), dt),
+            pltpu.VMEM((H, dh, 1), dt),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kwargs = {}
+    if vmem:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=vmem)
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(_self_append_kernel, window=W),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, dh), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        # +3 for the scalar-prefetch operands: input_output_aliases counts
+        # ALL pallas_call operands, scalars included
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+        **kwargs,
+    )(
+        jnp.reshape(layer, (1,)).astype(jnp.int32),
+        jnp.reshape(q_pos, (1,)).astype(jnp.int32),
+        key_start.astype(jnp.int32),
+        q,
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out, k_out, v_out
+
+
+# ---------------------------------------------------------------------------
 # cross-attention against per-audio encoder K/V (G group rows share one K/V)
 # ---------------------------------------------------------------------------
 
