@@ -5,6 +5,16 @@ provides those patterns on the annotated paths (see the module docstring);
 only the Ulysses all_to_all has a manual call site."""
 
 import jax
+import pytest
+
+if len(jax.devices()) < 8:
+    pytest.skip(
+        "needs the 8-device fake CPU mesh (single real chip run)",
+        allow_module_level=True,
+    )
+
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -9,6 +9,16 @@ encoder injected (the CLI --pp path).
 """
 
 import jax
+import pytest
+
+if len(jax.devices()) < 8:
+    pytest.skip(
+        "needs the 8-device fake CPU mesh (single real chip run)",
+        allow_module_level=True,
+    )
+
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

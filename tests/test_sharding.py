@@ -5,6 +5,16 @@ single-device forward; DP+TP full decode runs under a 4x2 mesh; the beam
 KV reorder stays correct when batch is sharded."""
 
 import jax
+import pytest
+
+if len(jax.devices()) < 8:
+    pytest.skip(
+        "needs the 8-device fake CPU mesh (single real chip run)",
+        allow_module_level=True,
+    )
+
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -6,6 +6,16 @@ Covers VERDICT r4 #6 — the SURVEY §2.3 SP/CP candidate as a real opt-in
 path."""
 
 import jax
+import pytest
+
+if len(jax.devices()) < 8:
+    pytest.skip(
+        "needs the 8-device fake CPU mesh (single real chip run)",
+        allow_module_level=True,
+    )
+
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -440,7 +440,13 @@ def self_attention_append_step(
     )
 
     row_spec = pl.BlockSpec((1, H, dh), lambda b, l, p, s: (b, 0, 0))
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    # HBM-pinned (not ANY): with ANY, Mosaic places a small-enough cache
+    # in VMEM, where the [H, dh, 1] column-write DMA is an illegal 1-lane
+    # slice of a (8,128)-tiled memref ("Slice shape along dimension 4 must
+    # be aligned to tiling (128)" — caught by the r5 on-chip suite at test
+    # dims).  HBM memrefs are linear, so arbitrary column slices DMA fine,
+    # and at production sizes the cache could never live in VMEM anyway.
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),

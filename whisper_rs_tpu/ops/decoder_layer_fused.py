@@ -105,19 +105,7 @@ def _dot_t(a: jnp.ndarray, wt: jnp.ndarray) -> jnp.ndarray:
     return out.astype(a.dtype)
 
 
-def _gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """GELU matching models.whisper.gelu: exact erf form in f32 (only ever
-    reached in interpret-mode parity tests — the TPU path is bf16), tanh
-    approximation in half precision."""
-    if x.dtype in (jnp.float32, jnp.float64):
-        inv_sqrt2 = jnp.asarray(0.7071067811865476, x.dtype)
-        return 0.5 * x * (1.0 + jax.lax.erf(x * inv_sqrt2))
-    c = jnp.asarray(0.7978845608028654, x.dtype)  # sqrt(2/pi)
-    k = jnp.asarray(0.044715, x.dtype)
-    half = jnp.asarray(0.5, x.dtype)
-    one = jnp.asarray(1.0, x.dtype)
-    return half * x * (one + jnp.tanh(c * (x + k * jnp.square(x) * x)))
-
+from .kernel_math import kernel_gelu as _gelu  # noqa: E402 — see kernel_math
 
 def _decoder_step_kernel(
     # scalar prefetch
@@ -283,10 +271,13 @@ def _decoder_step_kernel(
 
 
 def _vmem_estimate(
-    n: int, H: int, dh: int, r: int, ac: int, W: int, Tk: int
+    n: int, H: int, dh: int, r: int, ac: int, W: int, Tk: int,
+    bpe: int = 2,
 ) -> int:
-    """Double-buffered block bytes + rows-unrolled f32 attention temps."""
-    bpe = 2  # bf16
+    """Double-buffered block bytes + rows-unrolled f32 attention temps.
+    ``bpe``: bytes per element of the streamed blocks (2 bf16 production;
+    the f32 hardware-parity runs pass 4 — the r5 on-chip suite caught a
+    16.39M-vs-16M scoped-VMEM OOM when the estimate assumed bf16)."""
     weights = (8 * n * n + 16 * 4 * n) * bpe  # one [n, 8n] plane + small
     cross = ac * H * 2 * dh * Tk * bpe
     cache = 2 * r * H * dh * W * bpe
@@ -490,7 +481,7 @@ def decoder_step_fused(
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((nA, r, n), x.dtype)],
     )
-    vmem_need = _vmem_estimate(n, H, dh, r, ac, W, Tk)
+    vmem_need = _vmem_estimate(n, H, dh, r, ac, W, Tk, bpe=x.dtype.itemsize)
     vmem_limit = None
     if vmem_need > 9 * 1024 * 1024:
         # the scoped cap can approach the 128 MB physical VMEM; medium.en

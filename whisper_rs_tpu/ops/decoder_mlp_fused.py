@@ -67,11 +67,12 @@ def _mlp_kernel(l_ref, h_ref, w_ref, b1_ref, o_ref, acc_ref):
     )  # [B, Hc]
     a = a + b1_ref[0, 0][None, :]
     # match the XLA path's numerics: linear() emits the fc1 output in the
-    # compute dtype, then gelu runs on it (tanh form in bf16)
-    g = jax.nn.gelu(
-        a.astype(h.dtype),
-        approximate=h.dtype not in (jnp.float32, jnp.float64),
-    )
+    # compute dtype, then gelu runs on it (tanh form in bf16; the f32 erf
+    # form via kernel_math — lax.erfc has no Mosaic lowering, caught by
+    # the r5 on-chip suite)
+    from .kernel_math import kernel_gelu
+
+    g = kernel_gelu(a.astype(h.dtype))
     part = jax.lax.dot_general(
         g, w2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
