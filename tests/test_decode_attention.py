@@ -108,7 +108,7 @@ def test_self_attention_append_kernel_oracle():
     from whisper_rs_tpu.ops.decode_attention import self_attention_append_step
 
     rng = np.random.default_rng(0)
-    L, B, H, dh, ctx = 3, 4, 8, 64, 448
+    L, B, H, dh, ctx = 3, 4, 8, 64, 512  # lane-padded planes (append_ctx_pad)
     p, W, lyr = 130, 256, 1
     ks = np.array([0, 3, 5, 0], np.int32)
 

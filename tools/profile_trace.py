@@ -72,7 +72,15 @@ def main():
         if kv_fused == "ctx":
             cache = cache._replace(k=cache.k.swapaxes(-1, -2))
         elif kv_fused == "append":
-            cache = cache._replace(v=cache.v.swapaxes(-1, -2))
+            from whisper_rs_tpu.ops.decode_attention import append_ctx_pad
+
+            pad = append_ctx_pad(cache.k.shape[-1]) - cache.k.shape[-1]
+            cache = cache._replace(
+                k=jnp.pad(cache.k, ((0, 0),) * 4 + ((0, pad),)),
+                v=jnp.pad(
+                    cache.v.swapaxes(-1, -2), ((0, 0),) * 4 + ((0, pad),)
+                ),
+            )
 
         def body(i, state):
             cache, acc = state

@@ -349,10 +349,22 @@ def decode_greedy(
                     k=init.cache.k.swapaxes(-1, -2)
                 )
             )
-        else:  # append: V joins K in the transposed layout
+        else:  # append: V joins K in the transposed layout, and both
+            # planes are lane-padded to a 128-multiple (DMA slice widths
+            # on tiled memrefs must be 128-aligned; pad is zero-filled
+            # and never attended)
+            from ..ops.decode_attention import append_ctx_pad
+
+            pad = append_ctx_pad(n_ctx) - n_ctx
             init = init._replace(
                 cache=init.cache._replace(
-                    v=init.cache.v.swapaxes(-1, -2)
+                    k=jnp.pad(
+                        init.cache.k, ((0, 0),) * 4 + ((0, pad),)
+                    ),
+                    v=jnp.pad(
+                        init.cache.v.swapaxes(-1, -2),
+                        ((0, 0),) * 4 + ((0, pad),),
+                    ),
                 )
             )
 

@@ -43,6 +43,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -311,87 +312,148 @@ def _self_append_kernel(
     q_ref,  # [1, H, dh] VMEM block (pre-scaled)
     knew_ref,  # [1, H, dh] VMEM block — this step's K projection
     vnew_ref,  # [1, H, dh]
-    kc_any,  # [L, B, H, dh, ctx] ANY (HBM) — aliased with kc_out
-    vc_any,  # [L, B, H, dh, ctx] ANY — V TRANSPOSED TOO (aliased vc_out)
+    kc_any,  # [L, B, H, dh, ctx_pad] HBM — aliased with kc_out
+    vc_any,  # [L, B, H, dh, ctx_pad] HBM — V TRANSPOSED TOO (aliased)
     # outputs
     o_ref,  # [1, H, dh] VMEM block
-    kc_out,  # ANY alias of kc_any
-    vc_out,  # ANY alias of vc_any
+    kc_out,  # HBM alias of kc_any
+    vc_out,  # HBM alias of vc_any
     # scratch
-    k_vmem,  # [H, dh, W] cache dtype
+    k_vmem,  # [2, H, dh, Wr] cache dtype — double-buffered across programs
     v_vmem,
-    kcol,  # [H, dh, 1] cache dtype
-    vcol,
-    sems,  # DMA semaphores (4,)
+    rd_sems,  # DMA semaphores [2 slots, 2 planes]
+    wr_sems,
     *,
-    window: int,
+    window: int,  # Wr: static read width, multiple of 128
 ):
     b = pl.program_id(0)
+    B = pl.num_programs(0)
     _, H, dh = q_ref.shape
-    W = window
+    Wr = window
     l = l_ref[0]
     p = pos_ref[0]
+    slot = lax.rem(b, 2)
+    nxt = 1 - slot
 
-    # 1) kick off the cache reads (the dominant HBM streams)
-    rd_k = pltpu.make_async_copy(
-        kc_any.at[l, b, :, :, pl.ds(0, W)], k_vmem, sems.at[0]
-    )
-    rd_v = pltpu.make_async_copy(
-        vc_any.at[l, b, :, :, pl.ds(0, W)], v_vmem, sems.at[1]
-    )
-    rd_k.start()
-    rd_v.start()
+    # Manual cross-program double buffering: program b's plane reads are
+    # issued by program b-1 (b==0 self-issues), so the dominant DMAs
+    # overlap the previous program's splice/compute/write-back.  Scratch
+    # and semaphores persist across the sequential grid.
+    def start_reads(row, sl):
+        pltpu.make_async_copy(
+            kc_any.at[l, row, :, :, pl.ds(0, Wr)], k_vmem.at[sl],
+            rd_sems.at[sl, 0],
+        ).start()
+        pltpu.make_async_copy(
+            vc_any.at[l, row, :, :, pl.ds(0, Wr)], v_vmem.at[sl],
+            rd_sems.at[sl, 1],
+        ).start()
 
-    # 2) stage the fresh column and write it straight into HBM — the write
-    # never exists at the XLA level, so there is no lane-column
-    # dynamic_update_slice to copy-lower (the +54 us/plane wall that ate
-    # the transposed-read win in r4; see self_attention_fused_step)
-    kcol[...] = knew_ref[0].astype(jnp.float32)[:, :, None].astype(kcol.dtype)
-    vcol[...] = vnew_ref[0].astype(jnp.float32)[:, :, None].astype(vcol.dtype)
-    wr_k = pltpu.make_async_copy(
-        kcol, kc_out.at[l, b, :, :, pl.ds(p, 1)], sems.at[2]
-    )
-    wr_v = pltpu.make_async_copy(
-        vcol, vc_out.at[l, b, :, :, pl.ds(p, 1)], sems.at[3]
-    )
-    wr_k.start()
-    wr_v.start()
+    def wait_writes(sl):
+        pltpu.make_async_copy(
+            k_vmem.at[sl, :, :, pl.ds(0, 128)],
+            kc_out.at[l, 0, :, :, pl.ds(0, 128)],
+            wr_sems.at[sl, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            v_vmem.at[sl, :, :, pl.ds(0, 128)],
+            vc_out.at[l, 0, :, :, pl.ds(0, 128)],
+            wr_sems.at[sl, 1],
+        ).wait()
 
-    # 3) attention over the STALE cache [0, p) plus the fresh column from
-    # registers — column p is masked out of the read (strict <), so the
-    # read/write race on slot p is benign by construction
-    rd_k.wait()
-    rd_v.wait()
+    @pl.when(b == 0)
+    def _():
+        start_reads(0, 0)
 
+    @pl.when(b + 1 < B)
+    def _():
+        # slot `nxt` was read+written by program b-1: its write-back must
+        # land before the next read overwrites the buffer
+        @pl.when(b >= 1)
+        def _():
+            wait_writes(nxt)
+
+        start_reads(b + 1, nxt)
+
+    pltpu.make_async_copy(
+        kc_any.at[l, b, :, :, pl.ds(0, Wr)], k_vmem.at[slot],
+        rd_sems.at[slot, 0],
+    ).wait()
+    pltpu.make_async_copy(
+        vc_any.at[l, b, :, :, pl.ds(0, Wr)], v_vmem.at[slot],
+        rd_sems.at[slot, 1],
+    ).wait()
+
+    # splice the fresh column into the VMEM copy, then write back ONLY the
+    # 128-wide lane block containing it (the write never exists at the XLA
+    # level, so there is no lane-column dynamic_update_slice to copy-lower
+    # — the +54 us/plane wall that ate the transposed-read win in r4).  A
+    # raw [H, dh, 1] column DMA is illegal (1-lane slice of a (8,128)-tiled
+    # memref, HBM included — r5 on-chip finding), so the write rides the
+    # aligned block.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, dh, Wr), 2)
+    kf = jnp.where(
+        lane == p,
+        knew_ref[0].astype(jnp.float32)[:, :, None],
+        k_vmem[slot].astype(jnp.float32),
+    )
+    vf = jnp.where(
+        lane == p,
+        vnew_ref[0].astype(jnp.float32)[:, :, None],
+        v_vmem[slot].astype(jnp.float32),
+    )
+    k_vmem[slot] = kf.astype(k_vmem.dtype)
+    v_vmem[slot] = vf.astype(v_vmem.dtype)
+    pw = (p // 128) * 128  # 128-aligned block containing column p
+    pltpu.make_async_copy(
+        k_vmem.at[slot, :, :, pl.ds(pw, 128)],
+        kc_out.at[l, b, :, :, pl.ds(pw, 128)],
+        wr_sems.at[slot, 0],
+    ).start()
+    pltpu.make_async_copy(
+        v_vmem.at[slot, :, :, pl.ds(pw, 128)],
+        vc_out.at[l, b, :, :, pl.ds(pw, 128)],
+        wr_sems.at[slot, 1],
+    ).start()
+
+    # attention over the spliced planes (fresh column included, so the
+    # standard <= pos mask applies), overlapping both neighbours' DMAs
     q = q_ref[0].astype(jnp.float32)  # [H, dh]
-    k = k_vmem[...].astype(jnp.float32)  # [H, dh, W]
-    qk = jnp.sum(q[:, :, None] * k, axis=1)  # [H, W] f32, all heads on VPU
-    qk_new = jnp.sum(q * knew_ref[0].astype(jnp.float32), axis=1, keepdims=True)  # [H, 1]
+    qk = jnp.sum(q[:, :, None] * kf, axis=1)  # [H, Wr] f32, all heads VPU
 
-    ids = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    visible = (ids < p) & (ids >= ks_ref[b])
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, Wr), 1)
+    visible = (ids <= p) & (ids >= ks_ref[b])
     qk = jnp.where(visible, qk, NEG)
 
-    m = jnp.maximum(jnp.max(qk, axis=-1, keepdims=True), qk_new)  # [H, 1]
-    e = jnp.exp(qk - m)  # [H, W]
-    e_new = jnp.exp(qk_new - m)  # [H, 1]
-    denom = jnp.sum(e, axis=-1, keepdims=True) + e_new  # [H, 1]
-
-    v = v_vmem[...].astype(jnp.float32)  # [H, dh, W]
-    out = jnp.sum((e / denom)[:, None, :] * v, axis=2)  # [H, dh]
-    out = out + (e_new / denom) * vnew_ref[0].astype(jnp.float32)
+    m = jnp.max(qk, axis=-1, keepdims=True)
+    e = jnp.exp(qk - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)  # [H, Wr]
+    out = jnp.sum(w[:, None, :] * vf, axis=2)  # [H, dh]
     o_ref[0] = out.astype(o_ref.dtype)
 
-    wr_k.wait()
-    wr_v.wait()
+    # drain: the final program owns the last two outstanding write-backs
+    @pl.when(b == B - 1)
+    def _():
+        @pl.when(B >= 2)
+        def _():
+            wait_writes(nxt)
+
+        wait_writes(slot)
+
+
+def append_ctx_pad(n_ctx: int) -> int:
+    """Lane padding of the append-mode cache planes: DMA slice widths on
+    tiled memrefs must be 128-multiples, so the planes carry n_ctx rounded
+    up (448 -> 512).  The pad region is zero-filled and never attended."""
+    return -(-n_ctx // 128) * 128
 
 
 def self_attention_append_step(
     q: jnp.ndarray,  # [B, H, dh], pre-scaled
     k_new: jnp.ndarray,  # [B, H, dh] — this step's K projection (unwritten)
     v_new: jnp.ndarray,  # [B, H, dh]
-    k_all: jnp.ndarray,  # [L, B, H, dh, n_ctx] — TRANSPOSED (KVCache layout)
-    v_all: jnp.ndarray,  # [L, B, H, dh, n_ctx] — V transposed too
+    k_all: jnp.ndarray,  # [L, B, H, dh, ctx_pad] — TRANSPOSED (KVCache layout)
+    v_all: jnp.ndarray,  # [L, B, H, dh, ctx_pad] — V transposed too
     layer: jnp.ndarray,  # scalar i32
     q_pos: jnp.ndarray,  # scalar i32
     key_start: Optional[jnp.ndarray],  # [B] i32 or None
@@ -413,39 +475,37 @@ def self_attention_append_step(
         kernel (in-place sublane writes) instead;
       * moving the write INSIDE the kernel (VERDICT r4 #2) removes the
         XLA write entirely: the caches ride input_output_aliases and the
-        kernel DMAs the [H, dh, 1] column to HBM itself, overlapping the
-        big reads.  The fresh column's attention contribution is computed
-        from registers, so the kernel reads the stale [0, p) prefix and
-        strict-masks slot p — no read-after-write hazard.
+        kernel splices the fresh column into its VMEM copy and DMAs the
+        128-wide aligned lane block back (Mosaic rejects 1-lane slices of
+        tiled memrefs, in HBM too — r5 on-chip finding; the aligned-block
+        write-back costs ~0.33 MB/plane/row/layer, ~28%% of the read
+        stream, all overlapped with compute).
 
-    The caller flips V to the transposed layout once per window after
-    prefill (K is already stored transposed)."""
+    The caller flips V to the transposed layout and lane-pads both planes
+    to ``append_ctx_pad`` once per window after prefill."""
     B, H, dh = q.shape
-    n_ctx = k_all.shape[-1]
-    W = min(window, n_ctx)
-    if W % 128:
-        W = min(-(-W // 128) * 128, n_ctx)
+    ctx_pad = k_all.shape[-1]
+    assert ctx_pad % 128 == 0, "append cache planes must be lane-padded"
+    # static read width: multiple of 128 covering the live window
+    Wr = min(-(-window // 128) * 128, ctx_pad)
     if key_start is None:
         key_start = jnp.zeros((B,), jnp.int32)
 
     dt = k_all.dtype
-    # VMEM: single-buffered read scratch (manual DMA) + the f32 upcasts/
-    # products of the all-heads VPU math (qk product + pv product, NOT
-    # stack-reused — budget both live)
-    need = 2 * H * dh * W * dt.itemsize + 2 * H * dh * W * 4 + 2 * H * dh * W * 4
+    # VMEM: double-buffered read scratch (2 slots x 2 planes) + the f32
+    # spliced copies + products of the all-heads VPU math (NOT
+    # stack-reused — budget every live f32)
+    need = 4 * H * dh * Wr * dt.itemsize + 6 * H * dh * Wr * 4
     vmem = (
         None
         if need <= 14 * 1024 * 1024
-        else min(-(-need // (1 << 20)) * (1 << 20), 100 * 1024 * 1024)
+        else min(-(-need // (1 << 20)) * (1 << 20), 110 * 1024 * 1024)
     )
 
     row_spec = pl.BlockSpec((1, H, dh), lambda b, l, p, s: (b, 0, 0))
-    # HBM-pinned (not ANY): with ANY, Mosaic places a small-enough cache
-    # in VMEM, where the [H, dh, 1] column-write DMA is an illegal 1-lane
-    # slice of a (8,128)-tiled memref ("Slice shape along dimension 4 must
-    # be aligned to tiling (128)" — caught by the r5 on-chip suite at test
-    # dims).  HBM memrefs are linear, so arbitrary column slices DMA fine,
-    # and at production sizes the cache could never live in VMEM anyway.
+    # HBM-pinned (not ANY): with ANY, a small-enough cache lands in VMEM
+    # where the block write-back's dynamic lane slicing is not supported
+    # for every shape; production caches could never live in VMEM anyway.
     any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -453,18 +513,17 @@ def self_attention_append_step(
         in_specs=[row_spec, row_spec, row_spec, any_spec, any_spec],
         out_specs=[row_spec, any_spec, any_spec],
         scratch_shapes=[
-            pltpu.VMEM((H, dh, W), dt),
-            pltpu.VMEM((H, dh, W), dt),
-            pltpu.VMEM((H, dh, 1), dt),
-            pltpu.VMEM((H, dh, 1), dt),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, H, dh, Wr), dt),
+            pltpu.VMEM((2, H, dh, Wr), dt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kwargs = {}
     if vmem:
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=vmem)
     out, k_out, v_out = pl.pallas_call(
-        functools.partial(_self_append_kernel, window=W),
+        functools.partial(_self_append_kernel, window=Wr),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, dh), q.dtype),
