@@ -69,21 +69,34 @@ def _pallas_decode_mode() -> tuple:
 
 
 def decode_kernels_profitable(dims: ModelDims, batch_rows: int) -> bool:
-    """Shape gate for the r4 decode-step kernels (fused-self + fused-MLP),
-    measured on v5e (tools/bench_step.py A/B, ms/step ON vs OFF):
-
-      large-v3 b12:  10.57 vs 11.14  -> +5% WIN
-      turbo b64:      5.53 vs  5.09  -> -9%
-      medium.en b32: 13.47 vs 12.40  -> -9%
-      base.en b128:   6.31 vs  4.67  -> -35%
-
-    The kernels win only in the large-model small-batch matvec regime,
-    where XLA's per-(b,h) cache micro-dots are dispatch-bound; at bigger
-    batches XLA batches the dots efficiently and the per-row Pallas grid
-    overhead dominates (same shape cliff as the r2 self/megakernel
-    findings).  "auto" therefore engages them only here; WHISPER_FUSED_SELF
-    / WHISPER_PALLAS_MLP = "1" force them anywhere."""
+    """Shape gate for the r4 fused-MLP decode kernel, measured on v5e
+    (tools/bench_step.py A/B): neutral-to-winning only in the large-model
+    small-batch matvec regime (large-v3 b12); at bigger batches XLA
+    batches the streams efficiently and per-row Pallas grid overhead
+    dominates.  WHISPER_PALLAS_MLP=1 forces it anywhere."""
     return batch_rows <= 16 and dims.n_text_state >= 1280 and dims.n_text_layer >= 32
+
+
+def fused_self_profitable(dims: ModelDims, batch_rows: int) -> bool:
+    """Shape gate for the r5 append self-attention kernel (pipelined
+    in-kernel-write transposed-plane reads), measured on v5e
+    (tools/bench_step.py A/B, ms/step append vs XLA, full-W 224 steps):
+
+      large-v3 b12:  9.14 vs 11.15  -> +18% WIN
+      turbo b64:     4.60 vs  5.08  -> +9%  WIN
+      medium.en b32: 11.33 vs 12.40 -> +9%  WIN
+      small.en b64:  7.92 vs  8.76  -> +10% WIN
+      base.en b8:    0.55 vs  0.63  -> +12% WIN
+      base.en b32:   1.51 vs  1.65  -> +8%  WIN
+      base.en b64:   2.73 vs  2.97  -> +8%  WIN
+      base.en b96:   3.96 vs  3.81  -> -4%
+      base.en b128:  5.21 vs  4.66  -> -12%
+
+    The kernel wins everywhere except small-state models at very large
+    batch (base.en cliff between b64 and b96), where XLA's batched cache
+    dots amortize and the per-row grid serialization dominates.  The
+    untested corner (state 768-1024 above b64) stays conservative."""
+    return batch_rows <= 64 or dims.n_text_state >= 1024
 
 
 def _pallas_fused_self_mode() -> tuple:
@@ -145,7 +158,7 @@ def decode_kernel_modes(dims: ModelDims, batch_rows: int) -> tuple:
         use_mlp = decode_kernels_profitable(dims, batch_rows)
     fs_mode, fs_interp = _pallas_fused_self_mode()
     if fs_mode != "off" and os.environ.get("WHISPER_FUSED_SELF", "auto") == "auto":
-        if not decode_kernels_profitable(dims, batch_rows):
+        if not fused_self_profitable(dims, batch_rows):
             fs_mode = "off"
     return use_mlp, mlp_interp, fs_mode, fs_interp
 
