@@ -43,19 +43,29 @@ def main():
         compute_dtype=jnp.bfloat16,
     ) as engine:
         engine.warmup()
-        t0 = time.perf_counter()
-        handles = [engine.submit(a) for a in audios]
-        for h in handles:
-            h.result(timeout=1800)
-        wall = time.perf_counter() - t0
+        # pass 1 (cold): the prompted prefill-bucket executables compile
+        # lazily on the tunneled AOT compiler (~30-60 s each), so the
+        # first pass measures compile amortization, not serving.  Pass 2
+        # reuses every executable — that is the steady-state number a
+        # long-running server sees.
+        for label in ("cold", "warm"):
+            t0 = time.perf_counter()
+            handles = [engine.submit(a) for a in audios]
+            for h in handles:
+                h.result(timeout=1800)
+            wall = time.perf_counter() - t0
+            print(
+                f"[{label}] {total_audio_s:.0f} audio-s in {wall:.1f}s -> "
+                f"{total_audio_s / wall:.0f} audio-s/s"
+            )
         stats = engine.stats()
 
-    lat = sorted(h.latency() for h in handles)
+    lat = sorted(h.latency for h in handles)
     p = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
     print(
-        f"{model} batch={batch}: {n_req} reqs, {total_audio_s:.0f} audio-s "
-        f"in {wall:.1f}s -> {total_audio_s / wall:.0f} audio-s/s sustained; "
-        f"latency p50 {p(0.5):.2f}s p95 {p(0.95):.2f}s max {lat[-1]:.2f}s"
+        f"{model} batch={batch}: {n_req} reqs/pass, warm sustained "
+        f"{total_audio_s / wall:.0f} audio-s/s; warm latency "
+        f"p50 {p(0.5):.2f}s p95 {p(0.95):.2f}s max {lat[-1]:.2f}s"
     )
     print(f"engine stats: {stats}")
 

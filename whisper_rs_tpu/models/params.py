@@ -347,11 +347,16 @@ def load_hf_checkpoint(path: str, dtype=jnp.float32):
 
 
 def load_checkpoint(path: str, dtype=jnp.float32):
-    """Auto-detecting loader: an HF checkpoint directory (config.json) or an
-    OpenAI ``.pt`` file -> (params, ModelDims)."""
+    """Auto-detecting loader: an HF checkpoint directory (config.json), an
+    OpenAI ``.pt`` file, or this framework's own ``.npz`` save format
+    (models/checkpoint.py save_params) -> (params, ModelDims)."""
     import pathlib
 
     p = pathlib.Path(path)
     if p.is_dir():
         return load_hf_checkpoint(path, dtype)
+    if p.suffix == ".npz":
+        from .checkpoint import load_params
+
+        return load_params(path, dtype=dtype)
     return load_openai_checkpoint(path, dtype)
