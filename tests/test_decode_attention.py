@@ -142,6 +142,46 @@ def test_self_attention_append_kernel_oracle():
     np.testing.assert_array_equal(v_out, v_ref)
 
 
+def test_self_attention_append_kernel_single_row():
+    """B=1 edge of the cross-program double buffering: program 0 is both
+    the pipeline head (self-issues its reads) and the drain program (must
+    await only its own slot's write-backs — the B>=2 neighbour drain is
+    gated off).  Also pins p on a 128-block boundary (write-back block
+    starts exactly at p)."""
+    from whisper_rs_tpu.ops.decode_attention import self_attention_append_step
+
+    rng = np.random.default_rng(1)
+    L, B, H, dh, ctx = 2, 1, 4, 64, 256
+    p, W, lyr = 128, 256, 0  # p % 128 == 0: aligned write-back block
+
+    k_all = rng.standard_normal((L, B, H, dh, ctx)).astype(np.float32) * 0.3
+    v_all = rng.standard_normal((L, B, H, dh, ctx)).astype(np.float32) * 0.3
+    q = rng.standard_normal((B, H, dh)).astype(np.float32) * 0.3
+    k_new = rng.standard_normal((B, H, dh)).astype(np.float32) * 0.3
+    v_new = rng.standard_normal((B, H, dh)).astype(np.float32) * 0.3
+
+    out, k_out, v_out = self_attention_append_step(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+        jnp.asarray(k_all), jnp.asarray(v_all),
+        jnp.int32(lyr), jnp.int32(p), None,
+        window=W, interpret=True,
+    )
+    out, k_out, v_out = map(np.asarray, (out, k_out, v_out))
+
+    k_ref = k_all.copy(); v_ref = v_all.copy()
+    k_ref[lyr, :, :, :, p] = k_new
+    v_ref[lyr, :, :, :, p] = v_new
+    vis = np.arange(ctx) <= p
+    for h in range(H):
+        qk = np.where(vis, q[0, h] @ k_ref[lyr, 0, h], -1e9)
+        w = np.exp(qk - qk.max()); w /= w.sum()
+        np.testing.assert_allclose(
+            out[0, h], v_ref[lyr, 0, h] @ w, rtol=1e-5, atol=1e-5
+        )
+    np.testing.assert_array_equal(k_out, k_ref)
+    np.testing.assert_array_equal(v_out, v_ref)
+
+
 @_pytest.mark.parametrize("mode", ["interpret", "append-interpret"])
 def test_greedy_decode_fused_self_exact(monkeypatch, mode):
     """Full greedy decode with the fused self-attention kernels (ctx-major
